@@ -1,0 +1,27 @@
+"""Test harness: force an 8-virtual-device CPU platform BEFORE jax import.
+
+Multi-chip sharding tests run on a host-platform mesh (the reference never
+tested multi-node behavior at all — SURVEY §4); real-TPU benchmarking happens
+in bench.py, not the test suite.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the session env pins a TPU platform
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# The session's sitecustomize force-registers a TPU PJRT plugin and overrides
+# JAX_PLATFORMS; pin the platform back to host CPU before any backend init.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

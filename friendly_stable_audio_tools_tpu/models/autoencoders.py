@@ -1,0 +1,421 @@
+"""Oobleck VAE-GAN audio autoencoder, TPU-native.
+
+Behavioral parity target: reference `models/autoencoders.py` (Oobleck
+encoder/decoder 119-194, AudioAutoencoder 234-645, DiffusionAutoencoder
+648-690, factories 695-847).
+
+Design notes (TPU-first):
+  * All network modules operate channels-last [B, T, C]; the public
+    `AudioAutoencoder` wrapper keeps the reference's [B, C, T] API.
+  * Chunked streaming encode/decode (reference's Python chunk loops,
+    autoencoders.py:410-645) compiles to a single `lax.scan` with
+    Bartlett-window crossfade (ops/chunking.py) — one-chunk peak memory,
+    static shapes, no host round-trips.
+  * The waveform conv stacks dominate FLOPs; they are plain
+    `lax.conv_general_dilated` calls so XLA tiles them onto the MXU and
+    fuses the snake activations into the conv epilogues.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.activations import get_activation
+from ..ops.chunking import chunked_process, microbatched
+from ..ops.convs import WNConv1d, WNConvTranspose1d
+from .bottleneck import Bottleneck, DiscreteBottleneck
+from .pretransforms import Pretransform
+
+
+class ResidualUnit(nn.Module):
+    """Dilated conv residual unit (reference autoencoders.py:45-68)."""
+
+    in_channels: int
+    out_channels: int
+    dilation: int
+    use_snake: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        res = x
+        pad = (self.dilation * (7 - 1)) // 2
+        act = "snake" if self.use_snake else "elu"
+        x = get_activation(act, channels=self.out_channels, name="act1")(x)
+        x = WNConv1d(self.in_channels, self.out_channels, 7, padding=pad, dilation=self.dilation, name="conv1")(x)
+        x = get_activation(act, channels=self.out_channels, name="act2")(x)
+        x = WNConv1d(self.out_channels, self.out_channels, 1, name="conv2")(x)
+        return x + res
+
+
+class EncoderBlock(nn.Module):
+    """3 residual units + strided downsampling conv (reference autoencoders.py:71-87)."""
+
+    in_channels: int
+    out_channels: int
+    stride: int
+    use_snake: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        for i, d in enumerate((1, 3, 9)):
+            x = ResidualUnit(self.in_channels, self.in_channels, d, self.use_snake, name=f"res{i}")(x)
+        act = "snake" if self.use_snake else "elu"
+        x = get_activation(act, channels=self.in_channels, name="act")(x)
+        x = WNConv1d(
+            self.in_channels,
+            self.out_channels,
+            2 * self.stride,
+            stride=self.stride,
+            padding=math.ceil(self.stride / 2),
+            name="down",
+        )(x)
+        return x
+
+
+class DecoderBlock(nn.Module):
+    """Upsample (transposed conv or nearest+conv) + 3 residual units
+    (reference autoencoders.py:90-116)."""
+
+    in_channels: int
+    out_channels: int
+    stride: int
+    use_snake: bool = False
+    use_nearest_upsample: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        act = "snake" if self.use_snake else "elu"
+        x = get_activation(act, channels=self.in_channels, name="act")(x)
+        if self.use_nearest_upsample:
+            x = jnp.repeat(x, self.stride, axis=1)
+            x = WNConv1d(
+                self.in_channels, self.out_channels, 2 * self.stride,
+                stride=1, padding="same", use_bias=False, name="up",
+            )(x)
+        else:
+            x = WNConvTranspose1d(
+                self.in_channels, self.out_channels, 2 * self.stride,
+                stride=self.stride, padding=math.ceil(self.stride / 2), name="up",
+            )(x)
+        for i, d in enumerate((1, 3, 9)):
+            x = ResidualUnit(self.out_channels, self.out_channels, d, self.use_snake, name=f"res{i}")(x)
+        return x
+
+
+class OobleckEncoder(nn.Module):
+    """reference autoencoders.py:119-153. Input [B, T, in_channels] ->
+    latents [B, T/prod(strides), latent_dim]."""
+
+    in_channels: int = 2
+    channels: int = 128
+    latent_dim: int = 32
+    c_mults: tp.Sequence[int] = (1, 2, 4, 8)
+    strides: tp.Sequence[int] = (2, 4, 8, 8)
+    use_snake: bool = False
+    antialias_activation: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        c_mults = [1] + list(self.c_mults)
+        x = WNConv1d(self.in_channels, c_mults[0] * self.channels, 7, padding=3, name="conv_in")(x)
+        for i in range(len(c_mults) - 1):
+            x = EncoderBlock(
+                c_mults[i] * self.channels,
+                c_mults[i + 1] * self.channels,
+                self.strides[i],
+                self.use_snake,
+                name=f"block{i}",
+            )(x)
+        act = "snake" if self.use_snake else "elu"
+        x = get_activation(act, channels=c_mults[-1] * self.channels, name="act_out")(x)
+        x = WNConv1d(c_mults[-1] * self.channels, self.latent_dim, 3, padding=1, name="conv_out")(x)
+        return x
+
+
+class OobleckDecoder(nn.Module):
+    """reference autoencoders.py:156-194. Latents [B, L, latent_dim] ->
+    audio [B, L*prod(strides), out_channels]."""
+
+    out_channels: int = 2
+    channels: int = 128
+    latent_dim: int = 32
+    c_mults: tp.Sequence[int] = (1, 2, 4, 8)
+    strides: tp.Sequence[int] = (2, 4, 8, 8)
+    use_snake: bool = False
+    antialias_activation: bool = False
+    use_nearest_upsample: bool = False
+    final_tanh: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        c_mults = [1] + list(self.c_mults)
+        depth = len(c_mults)
+        x = WNConv1d(self.latent_dim, c_mults[-1] * self.channels, 7, padding=3, name="conv_in")(x)
+        for j, i in enumerate(range(depth - 1, 0, -1)):
+            x = DecoderBlock(
+                c_mults[i] * self.channels,
+                c_mults[i - 1] * self.channels,
+                self.strides[i - 1],
+                self.use_snake,
+                self.use_nearest_upsample,
+                name=f"block{j}",
+            )(x)
+        act = "snake" if self.use_snake else "elu"
+        x = get_activation(act, channels=c_mults[0] * self.channels, name="act_out")(x)
+        x = WNConv1d(c_mults[0] * self.channels, self.out_channels, 7, padding=3, use_bias=False, name="conv_out")(x)
+        if self.final_tanh:
+            x = jnp.tanh(x)
+        return x
+
+
+class AudioAutoencoderModule(nn.Module):
+    """Trainable core: encoder -> bottleneck -> decoder, channels-last.
+
+    The pretransform (a *frozen* nested model) lives OUTSIDE this module, on
+    the `AudioAutoencoder` wrapper, so the trainable parameter pytree contains
+    exactly what the optimizer should touch.
+    """
+
+    encoder: tp.Optional[nn.Module]
+    decoder: tp.Optional[nn.Module]
+    bottleneck: tp.Optional[Bottleneck] = None
+
+    def encode(self, audio, return_info: bool = False, **kwargs):
+        latents = self.encoder(audio) if self.encoder is not None else audio
+        info = {}
+        if self.bottleneck is not None:
+            latents, b_info = self.bottleneck.encode(latents, return_info=True, **kwargs)
+            info.update(b_info)
+        return (latents, info) if return_info else latents
+
+    def decode(self, latents, **kwargs):
+        if self.bottleneck is not None:
+            latents = self.bottleneck.decode(latents)
+        return self.decoder(latents) if self.decoder is not None else latents
+
+    def decode_tokens(self, tokens, **kwargs):
+        assert isinstance(self.bottleneck, DiscreteBottleneck)
+        latents = self.bottleneck.decode_tokens(tokens, **kwargs)
+        return self.decoder(latents) if self.decoder is not None else latents
+
+    def __call__(self, audio, **kwargs):
+        z, info = self.encode(audio, return_info=True, **kwargs)
+        return self.decode(z), info
+
+
+@dataclasses.dataclass
+class AudioAutoencoder:
+    """Public wrapper with the reference's [B, C, T] API
+    (reference autoencoders.py:234-645).
+
+    Holds the flax module + params; jitted entry points are cached per static
+    configuration. `params` is the trainable tree; the frozen pretransform
+    keeps its own params inside its own wrapper.
+    """
+
+    module: AudioAutoencoderModule
+    latent_dim: int
+    downsampling_ratio: int
+    sample_rate: int
+    io_channels: int = 2
+    params: tp.Optional[dict] = None
+    pretransform: tp.Optional[Pretransform] = None
+    in_channels: tp.Optional[int] = None
+    out_channels: tp.Optional[int] = None
+    soft_clip: bool = False
+
+    def __post_init__(self):
+        self.min_length = self.downsampling_ratio
+        if self.in_channels is None:
+            self.in_channels = self.io_channels
+        if self.out_channels is None:
+            self.out_channels = self.io_channels
+        b = self.module.bottleneck
+        self.is_discrete = b is not None and b.is_discrete
+        if self.is_discrete:
+            self.num_quantizers = b.num_quantizers
+            self.codebook_size = b.codebook_size
+
+    # ---- initialization / parameters ------------------------------------
+
+    def init(self, rng: jax.Array, length: tp.Optional[int] = None) -> dict:
+        length = length or self.downsampling_ratio * 4
+        sample_in = jnp.zeros((1, length, self.in_channels), jnp.float32)
+        p_rng, s_rng = jax.random.split(rng)
+        self.params = self.module.init({"params": p_rng, "sample": s_rng}, sample_in)["params"]
+        return self.params
+
+    def _p(self, params):
+        p = params if params is not None else self.params
+        assert p is not None, "AudioAutoencoder has no params; call .init() or load a checkpoint"
+        return {"params": p}
+
+    # ---- core [B, C, T] API ----------------------------------------------
+
+    def encode(self, audio, return_info: bool = False, rng: tp.Optional[jax.Array] = None,
+               iterate_batch: tp.Union[bool, int] = False, params=None, skip_pretransform: bool = False, **kwargs):
+        """audio [B, C, T] -> latents [B, latent_dim, L]."""
+        x = jnp.asarray(audio).transpose(0, 2, 1)
+        if self.pretransform is not None and not skip_pretransform:
+            x = self.pretransform.encode_nwc(x)
+        fn = functools.partial(self._encode_nwc, params=params, rng=rng, **kwargs)
+        if iterate_batch:
+            z = microbatched(lambda a: fn(a)[0] if return_info else fn(a), x, int(iterate_batch))
+            info = {}
+            if return_info:  # infos cannot be micro-batched losslessly; recompute flags empty
+                z, info = fn(x)
+        else:
+            out = fn(x)
+            z, info = out if isinstance(out, tuple) else (out, {})
+        z = z.transpose(0, 2, 1)
+        return (z, info) if return_info else z
+
+    def _encode_nwc(self, x, params=None, rng=None, **kwargs):
+        rngs = {"sample": rng} if rng is not None else {}
+        return self.module.apply(
+            self._p(params), x, return_info=True, method="encode", rngs=rngs, **kwargs
+        )
+
+    def decode(self, latents, iterate_batch: tp.Union[bool, int] = False, params=None,
+               rng: tp.Optional[jax.Array] = None, **kwargs):
+        """latents [B, latent_dim, L] -> audio [B, C, T]."""
+        z = jnp.asarray(latents).transpose(0, 2, 1)
+        fn = functools.partial(self._decode_nwc, params=params, rng=rng, **kwargs)
+        x = microbatched(fn, z, int(iterate_batch)) if iterate_batch else fn(z)
+        if self.pretransform is not None:
+            x = self.pretransform.decode_nwc(x)
+        if self.soft_clip:
+            x = jnp.tanh(x)
+        return x.transpose(0, 2, 1)
+
+    def _decode_nwc(self, z, params=None, rng=None, **kwargs):
+        rngs = {"sample": rng} if rng is not None else {}
+        return self.module.apply(self._p(params), z, method="decode", rngs=rngs, **kwargs)
+
+    def decode_tokens(self, tokens, params=None, **kwargs):
+        """Discrete tokens -> audio [B, C, T] (reference autoencoders.py:345-354)."""
+        assert self.is_discrete, "decode_tokens only works with discrete autoencoders"
+        x = self.module.apply(self._p(params), tokens, method="decode_tokens", **kwargs)
+        if self.pretransform is not None:
+            x = self.pretransform.decode_nwc(x)
+        if self.soft_clip:
+            x = jnp.tanh(x)
+        return x.transpose(0, 2, 1)
+
+    # ---- preprocessing (host-side, numpy) --------------------------------
+
+    def preprocess_audio_for_encoder(self, audio, in_sr: int):
+        """(C, T) or (T,) -> [1, C, T'] padded/resampled (reference 356-365)."""
+        return self.preprocess_audio_list_for_encoder([audio], [in_sr])
+
+    def preprocess_audio_list_for_encoder(self, audio_list, in_sr_list):
+        """Reference autoencoders.py:367-408: resample to model rate, pad to a
+        common multiple-of-ratio length, coerce channels, stack to a batch."""
+        from ..inference.utils import prepare_audio
+
+        batch_size = len(audio_list)
+        if isinstance(in_sr_list, int):
+            in_sr_list = [in_sr_list] * batch_size
+        assert len(in_sr_list) == batch_size
+
+        resampled = []
+        max_length = 0
+        for audio, in_sr in zip(audio_list, in_sr_list):
+            a = np.asarray(audio)
+            if a.ndim == 3 and a.shape[0] == 1:
+                a = a[0]
+            elif a.ndim == 1:
+                a = a[None, :]
+            assert a.ndim == 2, "Audio should be (Channels, Length) with no batch dim"
+            if in_sr != self.sample_rate:
+                from scipy.signal import resample_poly
+
+                g = math.gcd(int(in_sr), int(self.sample_rate))
+                a = resample_poly(a, self.sample_rate // g, in_sr // g, axis=-1)
+            resampled.append(a)
+            max_length = max(max_length, a.shape[-1])
+
+        padded_len = max_length + (self.min_length - (max_length % self.min_length)) % self.min_length
+        out = [
+            prepare_audio(a, in_sr=self.sample_rate, target_sr=self.sample_rate,
+                          target_length=padded_len, target_channels=self.in_channels)[0]
+            for a in resampled
+        ]
+        return jnp.stack([jnp.asarray(a) for a in out])
+
+    # ---- chunked streaming (reference autoencoders.py:410-645) -----------
+
+    def encode_audio(self, audio, chunked: bool = False, chunk_size: int = 128,
+                     overlap: int = 4, max_batch_size: int = 1, params=None, **kwargs):
+        """[B, C, T] -> [B, latent_dim, T/ratio]; audio length must be a
+        multiple of the downsampling ratio."""
+        audio = jnp.asarray(audio)
+        bs, n_ch, sample_length = audio.shape
+        r = self.downsampling_ratio
+        assert n_ch == self.in_channels
+        assert sample_length % r == 0, "audio length must be a multiple of the compression ratio"
+        if not chunked:
+            return self.encode(audio, params=params, **kwargs)
+        x = audio.transpose(0, 2, 1)
+        fn = lambda xc: self._encode_nwc(xc, params=params, **kwargs)[0]
+        z = chunked_process(
+            fn, x,
+            chunk_in=chunk_size * r, hop_in=(chunk_size - overlap) * r,
+            chunk_out=chunk_size, hop_out=chunk_size - overlap,
+            overlap_out=overlap, out_channels=self.latent_dim,
+            out_length=sample_length // r, pad_mode="zero",
+        )
+        return z.transpose(0, 2, 1)
+
+    def decode_audio(self, latents, chunked: bool = False, chunk_size: int = 128,
+                     overlap: int = 4, max_batch_size: int = 1, params=None, **kwargs):
+        """[B, latent_dim, L] -> [B, C, L*ratio]."""
+        latents = jnp.asarray(latents)
+        bs, latent_dim, latent_length = latents.shape
+        r = self.downsampling_ratio
+        assert latent_dim == self.latent_dim
+        if not chunked:
+            return self.decode(latents, params=params, **kwargs)
+        z = latents.transpose(0, 2, 1)
+        fn = lambda zc: self._decode_nwc(zc, params=params, **kwargs)
+        x = chunked_process(
+            fn, z,
+            chunk_in=chunk_size, hop_in=chunk_size - overlap,
+            chunk_out=chunk_size * r, hop_out=(chunk_size - overlap) * r,
+            overlap_out=overlap * r, out_channels=self.out_channels,
+            out_length=latent_length * r, pad_mode="reflect",
+        )
+        return x.transpose(0, 2, 1)
+
+    def reconstruct_audio(self, audio, chunked: bool = True, chunk_size: int = 128,
+                          overlap: int = 4, max_batch_size: int = 1, params=None, **kwargs):
+        """Encode+decode round trip with audio-domain crossfade
+        (reference autoencoders.py:573-645)."""
+        audio = jnp.asarray(audio)
+        bs, n_ch, sample_length = audio.shape
+        r = self.downsampling_ratio
+        assert n_ch == self.in_channels
+        if not chunked:
+            return self.decode(self.encode(audio, params=params, **kwargs), params=params, **kwargs)
+        x = audio.transpose(0, 2, 1)
+
+        def fn(xc):
+            z = self._encode_nwc(xc, params=params, **kwargs)[0]
+            return self._decode_nwc(z, params=params, **kwargs)
+
+        y = chunked_process(
+            fn, x,
+            chunk_in=chunk_size * r, hop_in=(chunk_size - overlap) * r,
+            chunk_out=chunk_size * r, hop_out=(chunk_size - overlap) * r,
+            overlap_out=overlap * r, out_channels=self.out_channels,
+            out_length=sample_length, pad_mode="zero",
+        )
+        return y.transpose(0, 2, 1)

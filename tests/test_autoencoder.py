@@ -1,0 +1,139 @@
+"""Oobleck VAE: shapes, bottleneck behavior, chunked-streaming consistency."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from friendly_stable_audio_tools_tpu.models.autoencoders import (
+    AudioAutoencoder,
+    AudioAutoencoderModule,
+    OobleckDecoder,
+    OobleckEncoder,
+)
+from friendly_stable_audio_tools_tpu.models.bottleneck import (
+    FSQBottleneck,
+    L2Bottleneck,
+    RVQBottleneck,
+    TanhBottleneck,
+    VAEBottleneck,
+    DACRVQBottleneck,
+    WassersteinBottleneck,
+)
+
+
+def tiny_ae(bottleneck=None, latent_dim=8, enc_latent_dim=None):
+    enc = OobleckEncoder(
+        in_channels=2, channels=8, latent_dim=enc_latent_dim or latent_dim,
+        c_mults=(1, 2), strides=(2, 4), use_snake=True,
+    )
+    dec = OobleckDecoder(
+        out_channels=2, channels=8, latent_dim=latent_dim,
+        c_mults=(1, 2), strides=(2, 4), use_snake=True,
+    )
+    module = AudioAutoencoderModule(encoder=enc, decoder=dec, bottleneck=bottleneck)
+    ae = AudioAutoencoder(
+        module=module, latent_dim=latent_dim, downsampling_ratio=8,
+        sample_rate=16000, io_channels=2,
+    )
+    ae.init(jax.random.PRNGKey(0))
+    return ae
+
+
+def test_roundtrip_shapes(rng):
+    ae = tiny_ae(VAEBottleneck(), latent_dim=8, enc_latent_dim=16)
+    audio = jnp.asarray(rng.standard_normal((2, 2, 256)).astype(np.float32))
+    z, info = ae.encode(audio, return_info=True, rng=jax.random.PRNGKey(1))
+    assert z.shape == (2, 8, 32)
+    assert "kl" in info and np.isfinite(float(info["kl"]))
+    rec = ae.decode(z)
+    assert rec.shape == (2, 2, 256)
+    assert np.all(np.abs(np.asarray(rec)) <= 1.0)  # final tanh
+
+
+def test_vae_bottleneck_deterministic_without_rng(rng):
+    ae = tiny_ae(VAEBottleneck(), latent_dim=8, enc_latent_dim=16)
+    audio = jnp.asarray(rng.standard_normal((1, 2, 128)).astype(np.float32))
+    z1 = ae.encode(audio)
+    z2 = ae.encode(audio)
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z2))
+
+
+@pytest.mark.parametrize(
+    "bottleneck,enc_mult",
+    [
+        (TanhBottleneck(), 1),
+        (L2Bottleneck(), 1),
+        (WassersteinBottleneck(), 1),
+        (RVQBottleneck(num_quantizers=2, codebook_size=32, dim=8), 1),
+        (DACRVQBottleneck(input_dim=8, n_codebooks=2, codebook_size=32, codebook_dim=4), 1),
+    ],
+)
+def test_bottlenecks_roundtrip(rng, bottleneck, enc_mult):
+    ae = tiny_ae(bottleneck, latent_dim=8, enc_latent_dim=8 * enc_mult)
+    audio = jnp.asarray(rng.standard_normal((1, 2, 128)).astype(np.float32))
+    z, info = ae.encode(audio, return_info=True, rng=jax.random.PRNGKey(0))
+    assert z.shape == (1, 8, 16)
+    rec = ae.decode(z)
+    assert rec.shape == (1, 2, 128)
+
+
+def test_discrete_tokens_roundtrip(rng):
+    b = DACRVQBottleneck(input_dim=8, n_codebooks=2, codebook_size=32, codebook_dim=4)
+    ae = tiny_ae(b, latent_dim=8)
+    audio = jnp.asarray(rng.standard_normal((1, 2, 128)).astype(np.float32))
+    z, info = ae.encode(audio, return_info=True)
+    codes = info["codes"]
+    assert codes.shape == (1, 16, 2)
+    rec = ae.decode_tokens(codes)
+    assert rec.shape == (1, 2, 128)
+
+
+def test_fsq_bottleneck(rng):
+    b = FSQBottleneck(dim=6, levels=5)
+    enc = OobleckEncoder(in_channels=2, channels=8, latent_dim=6, c_mults=(1, 2), strides=(2, 4))
+    dec = OobleckDecoder(out_channels=2, channels=8, latent_dim=6, c_mults=(1, 2), strides=(2, 4))
+    module = AudioAutoencoderModule(encoder=enc, decoder=dec, bottleneck=b)
+    ae = AudioAutoencoder(module=module, latent_dim=6, downsampling_ratio=8, sample_rate=16000)
+    ae.init(jax.random.PRNGKey(0))
+    audio = jnp.asarray(rng.standard_normal((1, 2, 64)).astype(np.float32))
+    z, info = ae.encode(audio, return_info=True)
+    idx = np.asarray(info["quantizer_indices"])
+    assert idx.min() >= 0 and idx.max() < 5**6
+    # quantized latents take at most `levels` distinct values per channel
+    assert len(np.unique(np.asarray(z))) <= 5 * 6
+
+
+def test_chunked_encode_matches_unchunked(rng):
+    ae = tiny_ae(TanhBottleneck())
+    t = 8 * 64
+    audio = jnp.asarray((0.1 * rng.standard_normal((1, 2, t))).astype(np.float32))
+    z_full = ae.encode_audio(audio, chunked=False)
+    z_chunk = ae.encode_audio(audio, chunked=True, chunk_size=16, overlap=8)
+    assert z_chunk.shape == z_full.shape
+    diff = np.abs(np.asarray(z_full) - np.asarray(z_chunk))
+    # interior should agree closely (edges of each chunk are crossfaded)
+    assert np.median(diff) < 5e-2
+
+
+def test_chunked_decode_shape(rng):
+    ae = tiny_ae(TanhBottleneck())
+    z = jnp.asarray(rng.standard_normal((1, 8, 64)).astype(np.float32))
+    x = ae.decode_audio(z, chunked=True, chunk_size=16, overlap=4)
+    assert x.shape == (1, 2, 64 * 8)
+
+
+def test_reconstruct_audio_chunked(rng):
+    ae = tiny_ae(TanhBottleneck())
+    audio = jnp.asarray((0.1 * rng.standard_normal((1, 2, 8 * 40))).astype(np.float32))
+    rec = ae.reconstruct_audio(audio, chunked=True, chunk_size=16, overlap=4)
+    assert rec.shape == audio.shape
+
+
+def test_preprocess_audio_for_encoder():
+    ae = tiny_ae(TanhBottleneck())
+    mono = np.random.default_rng(0).standard_normal((1, 100)).astype(np.float32)
+    batch = ae.preprocess_audio_for_encoder(mono, in_sr=16000)
+    assert batch.shape[0] == 1 and batch.shape[1] == 2  # stereo coerced
+    assert batch.shape[2] % ae.downsampling_ratio == 0

@@ -1,0 +1,511 @@
+"""Diffusion samplers as single jitted `lax.scan` loops.
+
+Parity targets:
+  * cosine alpha/sigma schedule helpers + v-diffusion DDIM `sample`
+    (reference inference/sampling.py:10-114)
+  * rectified-flow `sample_discrete_euler` / `sample_rf` (28-60, 236-269)
+  * `sample_k`: k-diffusion VDenoiser wrapping + polyexponential sigmas +
+    sampler dispatch (k-heun / k-lms / k-dpmpp-2s-ancestral / k-dpm-2 /
+    k-dpm-fast / k-dpm-adaptive / dpmpp-2m-sde / dpmpp-3m-sde) with
+    variation & inpainting modes (127-233). The k-diffusion algorithms are
+    re-derived natively as scans (k-diffusion==0.1.1 semantics).
+
+Design: the model function is traced ONCE; the entire step loop compiles to
+one XLA program (scan), so per-step Python/host overhead is zero — this is
+the main structural speedup over the reference's Python step loops.
+
+Divergences (documented):
+  * SDE/ancestral noise comes from `jax.random` splits, not torchsde Brownian
+    trees; fixed seeds reproduce within this framework, not across frameworks.
+  * Progress printing (reference prints iter/sec every 10 steps via CUDA
+    events) is not possible inside a compiled scan; bench.py reports
+    throughput instead.
+"""
+
+from __future__ import annotations
+
+import math
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# --------------------------------------------------------------------------
+# schedules (reference sampling.py:10-25)
+# --------------------------------------------------------------------------
+
+
+def get_alphas_sigmas(t):
+    return jnp.cos(t * math.pi / 2), jnp.sin(t * math.pi / 2)
+
+
+def alpha_sigma_to_t(alpha, sigma):
+    return jnp.arctan2(sigma, alpha) / math.pi * 2
+
+
+def t_to_alpha_sigma(t):
+    return jnp.cos(t * math.pi / 2), jnp.sin(t * math.pi / 2)
+
+
+def get_sigmas_polyexponential(n: int, sigma_min: float, sigma_max: float, rho: float = 1.0) -> np.ndarray:
+    """k-diffusion polyexponential schedule + terminal zero (host-side)."""
+    ramp = np.linspace(1, 0, n) ** rho
+    sigmas = np.exp(ramp * (math.log(sigma_max) - math.log(sigma_min)) + math.log(sigma_min))
+    return np.append(sigmas, 0.0).astype(np.float64)
+
+
+# --------------------------------------------------------------------------
+# v-objective denoiser (k-diffusion external.VDenoiser)
+# --------------------------------------------------------------------------
+
+
+def make_v_denoiser(model_fn, extra_args: dict):
+    """D(x, sigma) = c_out * model(c_in * x, t(sigma)) + c_skip * x."""
+
+    def denoiser(x, sigma):
+        sigma = jnp.asarray(sigma, jnp.float32)
+        c_skip = 1.0 / (sigma**2 + 1.0)
+        c_out = -sigma / jnp.sqrt(sigma**2 + 1.0)
+        c_in = 1.0 / jnp.sqrt(sigma**2 + 1.0)
+        t = jnp.arctan(sigma) / math.pi * 2
+        ts = jnp.broadcast_to(t, (x.shape[0],)).astype(jnp.float32)
+        v = model_fn((c_in * x).astype(x.dtype), ts, **extra_args).astype(jnp.float32)
+        return v * c_out + x.astype(jnp.float32) * c_skip
+
+    return denoiser
+
+
+def make_cond_model_fn(denoiser, cond_fn):
+    """Gradient guidance hook (reference sampling.py:127-135): the user's
+    cond_fn(x, sigma, denoised=...) returns a gradient-like correction that is
+    added as denoised + grad * sigma^2."""
+
+    def guided(x, sigma):
+        denoised = denoiser(x, sigma)
+        grad = cond_fn(x, sigma, denoised=denoised)
+        return denoised + grad * (jnp.asarray(sigma, jnp.float32) ** 2)
+
+    return guided
+
+
+# --------------------------------------------------------------------------
+# inpainting (reference sampling.py:120-124, 175-204)
+# --------------------------------------------------------------------------
+
+
+def get_bmask(i, steps, mask):
+    strength = (i + 1) / steps
+    return jnp.where(mask <= strength, 1.0, 0.0)
+
+
+def _make_inpaint_merge(init_data, mask, steps):
+    """Returns merge(x, i, sigma, key) replicating the reference's mutating
+    callback: x <- (init + noise*sigma) * bmask + x * (1 - bmask), applied
+    after each denoise, before the integrator update."""
+    if init_data is None or mask is None:
+        return None
+
+    def merge(x, i, sigma, key):
+        bmask = get_bmask(i, steps, mask).astype(jnp.float32)
+        input_noised = init_data + jax.random.normal(key, init_data.shape, jnp.float32) * sigma
+        return input_noised * bmask + x * (1.0 - bmask)
+
+    return merge
+
+
+# --------------------------------------------------------------------------
+# k-diffusion samplers as scans
+# --------------------------------------------------------------------------
+
+
+def _to_d(x, sigma, denoised):
+    return (x - denoised) / sigma
+
+
+def _scan_sampler(body, init_carry, steps, rng):
+    keys = jax.random.split(rng, steps)
+    xs = (jnp.arange(steps), keys)
+    carry, _ = jax.lax.scan(body, init_carry, xs)
+    return carry
+
+
+def sample_euler(denoiser, x, sigmas, rng, merge=None):
+    sigmas = jnp.asarray(sigmas, jnp.float32)
+    steps = len(sigmas) - 1
+
+    def body(x, ix):
+        i, key = ix
+        sigma, sigma_next = sigmas[i], sigmas[i + 1]
+        denoised = denoiser(x, sigma)
+        if merge is not None:
+            x = merge(x, i, sigma, key)
+        d = _to_d(x, sigma, denoised)
+        x = x + d * (sigma_next - sigma)
+        return x, None
+
+    x, _ = jax.lax.scan(body, x.astype(jnp.float32), (jnp.arange(steps), jax.random.split(rng, steps)))
+    return x
+
+
+def sample_heun(denoiser, x, sigmas, rng, merge=None):
+    """k-diffusion sample_heun with s_churn=0 (reference default)."""
+    sigmas = jnp.asarray(sigmas, jnp.float32)
+    steps = len(sigmas) - 1
+
+    def body(x, ix):
+        i, key = ix
+        sigma, sigma_next = sigmas[i], sigmas[i + 1]
+        denoised = denoiser(x, sigma)
+        if merge is not None:
+            x = merge(x, i, sigma, key)
+        d = _to_d(x, sigma, denoised)
+        dt = sigma_next - sigma
+        x_euler = x + d * dt
+        # second order correction unless sigma_next == 0
+        x_2 = x + d * dt
+        sigma_next_safe = jnp.maximum(sigma_next, 1e-12)
+        denoised_2 = denoiser(x_2, sigma_next_safe)
+        d_2 = (x_2 - denoised_2) / sigma_next_safe
+        d_prime = (d + d_2) / 2
+        x_heun = x + d_prime * dt
+        x = jnp.where(sigma_next == 0, x_euler, x_heun)
+        return x, None
+
+    x, _ = jax.lax.scan(body, x.astype(jnp.float32), (jnp.arange(steps), jax.random.split(rng, steps)))
+    return x
+
+
+def sample_dpm_2(denoiser, x, sigmas, rng, merge=None):
+    """k-diffusion sample_dpm_2 (midpoint in log-sigma), s_churn=0."""
+    sigmas = jnp.asarray(sigmas, jnp.float32)
+    steps = len(sigmas) - 1
+
+    def body(x, ix):
+        i, key = ix
+        sigma, sigma_next = sigmas[i], sigmas[i + 1]
+        denoised = denoiser(x, sigma)
+        if merge is not None:
+            x = merge(x, i, sigma, key)
+        d = _to_d(x, sigma, denoised)
+        x_euler = x + d * (sigma_next - sigma)
+        sigma_next_safe = jnp.maximum(sigma_next, 1e-12)
+        sigma_mid = jnp.exp(jnp.log(sigma) * 0.5 + jnp.log(sigma_next_safe) * 0.5)
+        dt_1 = sigma_mid - sigma
+        dt_2 = sigma_next - sigma
+        x_2 = x + d * dt_1
+        denoised_2 = denoiser(x_2, sigma_mid)
+        d_2 = (x_2 - denoised_2) / sigma_mid
+        x_mid = x + d_2 * dt_2
+        x = jnp.where(sigma_next == 0, x_euler, x_mid)
+        return x, None
+
+    x, _ = jax.lax.scan(body, x.astype(jnp.float32), (jnp.arange(steps), jax.random.split(rng, steps)))
+    return x
+
+
+def sample_dpmpp_2s_ancestral(denoiser, x, sigmas, rng, merge=None, eta: float = 1.0, s_noise: float = 1.0):
+    sigmas = jnp.asarray(sigmas, jnp.float32)
+    steps = len(sigmas) - 1
+
+    def body(x, ix):
+        i, key = ix
+        k_merge, k_up = jax.random.split(key)
+        sigma, sigma_next = sigmas[i], sigmas[i + 1]
+        denoised = denoiser(x, sigma)
+        if merge is not None:
+            x = merge(x, i, sigma, k_merge)
+        # ancestral split
+        sigma_up = jnp.minimum(
+            sigma_next,
+            eta * jnp.sqrt(jnp.maximum(sigma_next**2 * (sigma**2 - sigma_next**2) / jnp.maximum(sigma**2, 1e-20), 0.0)),
+        )
+        sigma_down = jnp.sqrt(jnp.maximum(sigma_next**2 - sigma_up**2, 0.0))
+
+        # Euler branch (sigma_down == 0)
+        d = _to_d(x, sigma, denoised)
+        x_euler = x + d * (sigma_down - sigma)
+
+        # DPM-Solver++(2S) branch
+        sd_safe = jnp.maximum(sigma_down, 1e-12)
+        t, t_next = -jnp.log(sigma), -jnp.log(sd_safe)
+        r = 0.5
+        h = t_next - t
+        s = t + r * h
+        x_2 = (jnp.exp(-s) / jnp.exp(-t)) * x - jnp.expm1(-r * h) * denoised
+        denoised_2 = denoiser(x_2, jnp.exp(-s))
+        x_2s = (sd_safe / sigma) * x - jnp.expm1(-h) * denoised_2
+
+        x = jnp.where(sigma_down == 0, x_euler, x_2s)
+        x = x + jax.random.normal(k_up, x.shape, jnp.float32) * s_noise * sigma_up
+        return x, None
+
+    x, _ = jax.lax.scan(body, x.astype(jnp.float32), (jnp.arange(steps), jax.random.split(rng, steps)))
+    return x
+
+
+def sample_lms(denoiser, x, sigmas, rng, merge=None, order: int = 4):
+    """k-diffusion sample_lms; Adams-Bashforth coefficients are integrated
+    host-side (the sigma grid is static) and fed to the scan as a table."""
+    from scipy import integrate
+
+    sig = np.asarray(sigmas, np.float64)
+    steps = len(sig) - 1
+
+    def lms_coeff(ord_, t, i, j):
+        def fn(tau):
+            prod = 1.0
+            for k in range(ord_):
+                if j == k:
+                    continue
+                prod *= (tau - t[i - k]) / (t[i - j] - t[i - k])
+            return prod
+
+        return integrate.quad(fn, t[i], t[i + 1], epsrel=1e-4)[0]
+
+    coeffs = np.zeros((steps, order), np.float32)
+    for i in range(steps):
+        cur_order = min(i + 1, order)
+        for j in range(cur_order):
+            coeffs[i, j] = lms_coeff(cur_order, sig, i, j)
+
+    sigmas = jnp.asarray(sig, jnp.float32)
+    coeffs_j = jnp.asarray(coeffs)
+
+    def body(carry, ix):
+        x, ds = carry  # ds: [order, ...] newest first
+        i, key = ix
+        sigma = sigmas[i]
+        denoised = denoiser(x, sigma)
+        if merge is not None:
+            x = merge(x, i, sigma, key)
+        d = _to_d(x, sigma, denoised)
+        ds = jnp.concatenate([d[None], ds[:-1]], axis=0)
+        x = x + jnp.einsum("j,j...->...", coeffs_j[i], ds)
+        return (x, ds), None
+
+    ds0 = jnp.zeros((order,) + x.shape, jnp.float32)
+    (x, _), _ = jax.lax.scan(body, (x.astype(jnp.float32), ds0), (jnp.arange(steps), jax.random.split(rng, steps)))
+    return x
+
+
+def sample_dpmpp_2m_sde(denoiser, x, sigmas, rng, merge=None, eta: float = 1.0, s_noise: float = 1.0):
+    """k-diffusion sample_dpmpp_2m_sde, solver_type='midpoint'."""
+    sigmas = jnp.asarray(sigmas, jnp.float32)
+    steps = len(sigmas) - 1
+
+    def body(carry, ix):
+        x, old_denoised, h_last, has_old = carry
+        i, key = ix
+        k_merge, k_noise = jax.random.split(key)
+        sigma, sigma_next = sigmas[i], sigmas[i + 1]
+        denoised = denoiser(x, sigma)
+        if merge is not None:
+            x = merge(x, i, sigma, k_merge)
+
+        sn_safe = jnp.maximum(sigma_next, 1e-12)
+        t, s = -jnp.log(sigma), -jnp.log(sn_safe)
+        h = s - t
+        eta_h = eta * h
+
+        x_new = (sn_safe / sigma) * jnp.exp(-eta_h) * x + (-jnp.expm1(-h - eta_h)) * denoised
+        r = h_last / h
+        corr = 0.5 * (-jnp.expm1(-h - eta_h)) * (1.0 / jnp.maximum(r, 1e-12)) * (denoised - old_denoised)
+        x_new = x_new + jnp.where(has_old, corr, 0.0)
+        noise = jax.random.normal(k_noise, x.shape, jnp.float32)
+        x_new = x_new + noise * sigma_next * jnp.sqrt(jnp.maximum(-jnp.expm1(-2 * eta_h), 0.0)) * s_noise
+
+        x = jnp.where(sigma_next == 0, denoised, x_new)
+        return (x, denoised, h, jnp.asarray(True)), None
+
+    carry0 = (x.astype(jnp.float32), jnp.zeros_like(x, jnp.float32), jnp.asarray(1.0), jnp.asarray(False))
+    (x, *_), _ = jax.lax.scan(body, carry0, (jnp.arange(steps), jax.random.split(rng, steps)))
+    return x
+
+
+def sample_dpmpp_3m_sde(denoiser, x, sigmas, rng, merge=None, eta: float = 1.0, s_noise: float = 1.0):
+    """k-diffusion sample_dpmpp_3m_sde — the reference default for SAO
+    generation (generate.py:28-31)."""
+    sigmas = jnp.asarray(sigmas, jnp.float32)
+    steps = len(sigmas) - 1
+
+    def body(carry, ix):
+        x, d1, d2, h1, h2, n_hist = carry
+        i, key = ix
+        k_merge, k_noise = jax.random.split(key)
+        sigma, sigma_next = sigmas[i], sigmas[i + 1]
+        denoised = denoiser(x, sigma)
+        if merge is not None:
+            x = merge(x, i, sigma, k_merge)
+
+        sn_safe = jnp.maximum(sigma_next, 1e-12)
+        t, s = -jnp.log(sigma), -jnp.log(sn_safe)
+        h = s - t
+        h_eta = h * (eta + 1.0)
+
+        x_new = jnp.exp(-h_eta) * x + (-jnp.expm1(-h_eta)) * denoised
+
+        # 2nd/3rd-order corrections keyed on history length
+        h1_safe = jnp.where(n_hist >= 1, h1, 1.0)
+        h2_safe = jnp.where(n_hist >= 2, h2, 1.0)
+        r0 = h1_safe / h
+        r1 = h2_safe / h
+        d1_0 = (denoised - d1) / jnp.maximum(r0, 1e-12)
+        d1_1 = (d1 - d2) / jnp.maximum(r1, 1e-12)
+        dd1 = d1_0 + (d1_0 - d1_1) * r0 / jnp.maximum(r0 + r1, 1e-12)
+        dd2 = (d1_0 - d1_1) / jnp.maximum(r0 + r1, 1e-12)
+        phi_2 = jnp.expm1(-h_eta) / h_eta + 1.0
+        phi_3 = phi_2 / h_eta - 0.5
+
+        third = x_new + phi_2 * dd1 - phi_3 * dd2
+        second = x_new + phi_2 * d1_0
+        x_new = jnp.where(n_hist >= 2, third, jnp.where(n_hist >= 1, second, x_new))
+
+        if eta > 0:
+            noise = jax.random.normal(k_noise, x.shape, jnp.float32)
+            x_new = x_new + noise * sigma_next * jnp.sqrt(jnp.maximum(-jnp.expm1(-2 * h * eta), 0.0)) * s_noise
+
+        x = jnp.where(sigma_next == 0, denoised, x_new)
+        return (x, denoised, d1, h, h1, jnp.minimum(n_hist + 1, 3)), None
+
+    carry0 = (
+        x.astype(jnp.float32),
+        jnp.zeros_like(x, jnp.float32),
+        jnp.zeros_like(x, jnp.float32),
+        jnp.asarray(1.0),
+        jnp.asarray(1.0),
+        jnp.asarray(0),
+    )
+    (x, *_), _ = jax.lax.scan(body, carry0, (jnp.arange(steps), jax.random.split(rng, steps)))
+    return x
+
+
+_K_SAMPLERS = {
+    "k-euler": sample_euler,
+    "k-heun": sample_heun,
+    "k-lms": sample_lms,
+    "k-dpmpp-2s-ancestral": sample_dpmpp_2s_ancestral,
+    "k-dpm-2": sample_dpm_2,
+    "dpmpp-2m-sde": sample_dpmpp_2m_sde,
+    "dpmpp-3m-sde": sample_dpmpp_3m_sde,
+}
+
+
+def sample_k(
+    model_fn,
+    noise,
+    init_data=None,
+    mask=None,
+    steps: int = 100,
+    sampler_type: str = "dpmpp-2m-sde",
+    sigma_min: float = 0.5,
+    sigma_max: float = 50.0,
+    rho: float = 1.0,
+    rng: tp.Optional[jax.Array] = None,
+    cond_fn=None,
+    callback=None,
+    disable_tqdm: bool = False,
+    device=None,
+    **extra_args,
+):
+    """reference inference/sampling.py:144-233. `rng` replaces torch's global
+    generator; `device`/`disable_tqdm`/`callback` accepted for API parity."""
+    if sampler_type in ("k-dpm-fast", "k-dpm-adaptive"):
+        raise NotImplementedError(
+            f"{sampler_type} (host-adaptive step control) is not yet ported; "
+            "use dpmpp-3m-sde / dpmpp-2m-sde / k-heun / k-lms / k-dpm-2 / "
+            "k-dpmpp-2s-ancestral / k-euler"
+        )
+    if sampler_type not in _K_SAMPLERS:
+        raise ValueError(f"Unknown sampler type {sampler_type}")
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+    denoiser = make_v_denoiser(model_fn, extra_args)
+    if cond_fn is not None:
+        denoiser = make_cond_model_fn(denoiser, cond_fn)
+
+    sigmas = get_sigmas_polyexponential(steps, sigma_min, sigma_max, rho)
+    noise = noise.astype(jnp.float32) * float(sigmas[0])
+
+    merge = None
+    if mask is None and init_data is not None:
+        x = init_data.astype(jnp.float32) + noise  # VARIATION
+    elif mask is not None and init_data is not None:
+        bmask = get_bmask(0, steps, mask).astype(jnp.float32)  # INPAINTING
+        input_noised = init_data.astype(jnp.float32) + noise
+        x = input_noised * bmask + noise * (1.0 - bmask)
+        merge = _make_inpaint_merge(init_data.astype(jnp.float32), mask, steps)
+    else:
+        x = noise
+
+    return _K_SAMPLERS[sampler_type](denoiser, x, sigmas, rng, merge=merge)
+
+
+# --------------------------------------------------------------------------
+# v-diffusion DDIM and rectified flow (reference sampling.py:28-114, 236-269)
+# --------------------------------------------------------------------------
+
+
+def sample(model_fn, x, steps: int, eta: float = 0.0, rng: tp.Optional[jax.Array] = None,
+           verbose: bool = False, **extra_args):
+    """DDIM for v-objective models (reference sampling.py:63-114)."""
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    t = jnp.linspace(1, 0, steps + 1)[:-1]
+    alphas, sigmas = get_alphas_sigmas(t)
+
+    def body(carry, ix):
+        x, _ = carry
+        i, key = ix
+        ts = jnp.full((x.shape[0],), t[i], jnp.float32)
+        v = model_fn(x.astype(jnp.float32), ts, **extra_args).astype(jnp.float32)
+        pred = x * alphas[i] - v * sigmas[i]
+        eps = x * sigmas[i] + v * alphas[i]
+
+        # next-step recombination (skipped on the final step)
+        a_next = jnp.where(i < steps - 1, alphas[i + 1], alphas[i])
+        s_next = jnp.where(i < steps - 1, sigmas[i + 1], sigmas[i])
+        ddim_sigma = eta * jnp.sqrt(s_next**2 / jnp.maximum(sigmas[i] ** 2, 1e-20)) * jnp.sqrt(
+            jnp.maximum(1 - alphas[i] ** 2 / jnp.maximum(a_next**2, 1e-20), 0.0)
+        )
+        adjusted_sigma = jnp.sqrt(jnp.maximum(s_next**2 - ddim_sigma**2, 0.0))
+        x_next = pred * a_next + eps * adjusted_sigma
+        if eta:
+            x_next = x_next + jax.random.normal(key, x.shape, jnp.float32) * ddim_sigma
+        x = jnp.where(i < steps - 1, x_next, x)
+        return (x, pred), None
+
+    x0 = x.astype(jnp.float32)
+    (_, pred), _ = jax.lax.scan(
+        body, (x0, jnp.zeros_like(x0)), (jnp.arange(steps), jax.random.split(rng, steps))
+    )
+    return pred
+
+
+def sample_discrete_euler(model_fn, x, steps: int, sigma_max: float = 1.0, verbose: bool = False, **extra_args):
+    """Euler for rectified flow (reference sampling.py:28-60): linspace
+    sigma_max -> 0, x += dt * model(x, t)."""
+    t = jnp.linspace(sigma_max, 0, steps + 1)
+
+    def body(x, i):
+        t_curr, t_prev = t[i], t[i + 1]
+        ts = jnp.full((x.shape[0],), t_curr, jnp.float32)
+        dt = t_prev - t_curr
+        x = x + dt * model_fn(x.astype(jnp.float32), ts, **extra_args).astype(jnp.float32)
+        return x, None
+
+    x, _ = jax.lax.scan(body, x.astype(jnp.float32), jnp.arange(steps))
+    return x
+
+
+def sample_rf(model_fn, noise, init_data=None, steps: int = 100, sigma_max: float = 1.0,
+              rng: tp.Optional[jax.Array] = None, cond_fn=None, callback=None,
+              disable_tqdm: bool = False, device=None, **extra_args):
+    """reference sampling.py:236-269."""
+    if sigma_max > 1:
+        sigma_max = 1
+    if init_data is not None:
+        x = init_data.astype(jnp.float32) * (1 - sigma_max) + noise.astype(jnp.float32) * sigma_max
+    else:
+        x = noise
+    return sample_discrete_euler(model_fn, x, steps, sigma_max, **extra_args)

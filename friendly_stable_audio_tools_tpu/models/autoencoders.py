@@ -419,3 +419,204 @@ class AudioAutoencoder:
             out_length=sample_length, pad_mode="zero",
         )
         return y.transpose(0, 2, 1)
+
+
+# --------------------------------------------------------------------------
+# factories (reference autoencoders.py:695-847)
+# --------------------------------------------------------------------------
+
+
+def create_encoder_from_config(encoder_config: tp.Dict[str, tp.Any]):
+    encoder_type = encoder_config["type"]
+    cfg = dict(encoder_config.get("config", {}))
+    if encoder_type == "oobleck":
+        return OobleckEncoder(**cfg)
+    if encoder_type == "dac":
+        from .dac_codec import DACEncoderWrapper
+
+        return DACEncoderWrapper(**cfg)
+    if encoder_type == "seanet":
+        from .seanet import SEANetEncoder
+
+        # SEANet encoder expects strides in reverse order (reference :704)
+        cfg["ratios"] = list(reversed(cfg.get("ratios", [2, 2, 2, 2, 2])))
+        return SEANetEncoder(**cfg)
+    if encoder_type == "local_attn":
+        from .local_attention import TransformerEncoder1D
+
+        return TransformerEncoder1D(**cfg)
+    raise ValueError(f"Unknown encoder type {encoder_type}")
+
+
+def create_decoder_from_config(decoder_config: tp.Dict[str, tp.Any]):
+    decoder_type = decoder_config["type"]
+    cfg = dict(decoder_config.get("config", {}))
+    cfg.pop("soft_clip", None)
+    if decoder_type == "oobleck":
+        return OobleckDecoder(**cfg)
+    if decoder_type == "dac":
+        from .dac_codec import DACDecoderWrapper
+
+        return DACDecoderWrapper(**cfg)
+    if decoder_type == "seanet":
+        from .seanet import SEANetDecoder
+
+        return SEANetDecoder(**cfg)
+    if decoder_type == "local_attn":
+        from .local_attention import TransformerDecoder1D
+
+        return TransformerDecoder1D(**cfg)
+    raise ValueError(f"Unknown decoder type {decoder_type}")
+
+
+def create_autoencoder_from_config(config: tp.Dict[str, tp.Any]) -> AudioAutoencoder:
+    from .factory import create_bottleneck_from_config, create_pretransform_from_config
+
+    ae_config = config["model"]
+    encoder = create_encoder_from_config(ae_config["encoder"])
+    decoder = create_decoder_from_config(ae_config["decoder"])
+    bottleneck = ae_config.get("bottleneck", None)
+
+    latent_dim = ae_config["latent_dim"]
+    downsampling_ratio = ae_config["downsampling_ratio"]
+    io_channels = ae_config["io_channels"]
+    sample_rate = config["sample_rate"]
+
+    in_channels = ae_config.get("in_channels", None)
+    out_channels = ae_config.get("out_channels", None)
+    pretransform = ae_config.get("pretransform", None)
+    if pretransform is not None:
+        pretransform = create_pretransform_from_config(pretransform, sample_rate)
+    if bottleneck is not None:
+        bottleneck = create_bottleneck_from_config(bottleneck)
+
+    soft_clip = ae_config["decoder"].get("soft_clip", False)
+
+    module = AudioAutoencoderModule(encoder=encoder, decoder=decoder, bottleneck=bottleneck)
+    return AudioAutoencoder(
+        module=module,
+        io_channels=io_channels,
+        latent_dim=latent_dim,
+        downsampling_ratio=downsampling_ratio,
+        sample_rate=sample_rate,
+        pretransform=pretransform,
+        in_channels=in_channels,
+        out_channels=out_channels,
+        soft_clip=soft_clip,
+    )
+
+
+@dataclasses.dataclass
+class DiffusionAutoencoder(AudioAutoencoder):
+    """Decoder is a diffusion model conditioned on (upsampled) latents
+    (reference autoencoders.py:648-690)."""
+
+    diffusion: tp.Optional[tp.Any] = None  # DiffusionModel wrapper module
+    diffusion_downsampling_ratio: int = 1
+
+    def __post_init__(self):
+        super().__post_init__()
+        self.min_length = self.downsampling_ratio * self.diffusion_downsampling_ratio
+
+    def init(self, rng: jax.Array, length: tp.Optional[int] = None) -> dict:
+        params = super().init(rng, length)
+        # reference shrinks encoder params 0.5x to avoid saturated latents
+        if self.module.encoder is not None and "encoder" in params:
+            params["encoder"] = jax.tree_util.tree_map(lambda p: p * 0.5, params["encoder"])
+        self.params = params
+        d_rng = jax.random.fold_in(rng, 1)
+        # diffusion runs in the (pretransform-)audio domain with latent
+        # input-concat conditioning; init with one min_length window
+        self.diffusion.init(d_rng, length=self.min_length)
+        return params
+
+    def decode(self, latents, steps: int = 100, rng: tp.Optional[jax.Array] = None, params=None, **kwargs):
+        """latents [B, latent_dim, L] -> audio via diffusion sampling
+        conditioned on nearest-upsampled latents (reference 673-690)."""
+        from ..inference.sampling import sample
+
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        z = jnp.asarray(latents).transpose(0, 2, 1)  # [B, L, C]
+        upsampled_length = z.shape[1] * self.downsampling_ratio
+
+        if self.module.bottleneck is not None:
+            z = self.module.apply(self._p(params), z, method=lambda m, a: m.bottleneck.decode(a))
+        if self.module.decoder is not None:
+            z = self._decode_nwc(z, params=params)
+
+        if z.shape[1] != upsampled_length:
+            idx = (jnp.arange(upsampled_length) * z.shape[1]) // upsampled_length
+            z = z[:, idx, :]
+
+        k_noise, k_sample = jax.random.split(rng)
+        noise = jax.random.normal(k_noise, (z.shape[0], upsampled_length, self.io_channels), jnp.float32)
+
+        def model_fn(x, t, **kw):
+            return self.diffusion.forward(self.diffusion.params, x, t, **kw)
+
+        decoded = sample(model_fn, noise, steps, 0, rng=k_sample, input_concat_cond=z)
+
+        if self.pretransform is not None:
+            decoded = self.pretransform.decode_nwc(decoded)
+        return decoded.transpose(0, 2, 1)
+
+
+def create_diffAE_from_config(config: tp.Dict[str, tp.Any]) -> DiffusionAutoencoder:
+    from .diffusion import DiffusionModelWrapper
+    from .factory import create_bottleneck_from_config, create_pretransform_from_config
+
+    diffae_config = config["model"]
+    encoder = create_encoder_from_config(diffae_config["encoder"]) if "encoder" in diffae_config else None
+    decoder = create_decoder_from_config(diffae_config["decoder"]) if "decoder" in diffae_config else None
+
+    diffusion_cfg = diffae_config["diffusion"]
+    diffusion_model_type = diffusion_cfg["type"]
+    if diffusion_model_type == "DAU1d":
+        from .dance_diffusion import DiffusionAttnUnet1D
+
+        diffusion_module = DiffusionAttnUnet1D(**diffusion_cfg["config"])
+        diffusion_downsampling_ratio = int(np.prod(diffusion_cfg["config"]["strides"]))
+    elif diffusion_model_type == "adp_1d":
+        from .adp import UNet1d
+
+        diffusion_module = UNet1d(**diffusion_cfg["config"])
+        diffusion_downsampling_ratio = int(np.prod(diffusion_cfg["config"]["factors"]))
+    elif diffusion_model_type == "dit":
+        from .dit import DiffusionTransformer
+
+        diffusion_module = DiffusionTransformer(**diffusion_cfg["config"])
+        diffusion_downsampling_ratio = 1
+    else:
+        raise NotImplementedError(f"No such model type: '{diffusion_model_type}'")
+
+    latent_dim = diffae_config["latent_dim"]
+    downsampling_ratio = diffae_config["downsampling_ratio"]
+    io_channels = diffae_config["io_channels"]
+    sample_rate = config["sample_rate"]
+
+    bottleneck = diffae_config.get("bottleneck", None)
+    pretransform = diffae_config.get("pretransform", None)
+    if pretransform is not None:
+        pretransform = create_pretransform_from_config(pretransform, sample_rate)
+    if bottleneck is not None:
+        bottleneck = create_bottleneck_from_config(bottleneck)
+
+    diffusion = DiffusionModelWrapper(
+        diffusion_module,
+        io_channels=io_channels,
+        sample_size=config.get("sample_size", 0),
+        sample_rate=sample_rate,
+        min_input_length=diffusion_downsampling_ratio,
+    )
+
+    module = AudioAutoencoderModule(encoder=encoder, decoder=decoder, bottleneck=bottleneck)
+    return DiffusionAutoencoder(
+        module=module,
+        diffusion=diffusion,
+        diffusion_downsampling_ratio=diffusion_downsampling_ratio,
+        io_channels=io_channels,
+        sample_rate=sample_rate,
+        latent_dim=latent_dim,
+        downsampling_ratio=downsampling_ratio,
+        pretransform=pretransform,
+    )

@@ -1,0 +1,66 @@
+"""Pretrained model loading.
+
+Parity target: reference `models/pretrained.py:9-26` (`get_pretrained_model`
+downloads model_config.json + model.safetensors from the HF hub).
+
+This framework additionally supports fully offline loading from a local
+directory containing `model_config.json` and either converted-JAX weights
+(`model.safetensors` written by this framework / `model.npz` / orbax dir) or
+an original PyTorch `model.safetensors`/`model.ckpt` which is converted
+on the fly via `utils/torch_import.py`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import typing as tp
+
+from .factory import create_model_from_config
+
+
+def get_pretrained_model(name: str):
+    """Load `name` — an HF repo id (requires network) or a local directory."""
+    if os.path.isdir(name):
+        model_dir = name
+    else:
+        try:
+            from huggingface_hub import snapshot_download
+
+            model_dir = snapshot_download(name)
+        except Exception as e:  # zero-egress environments
+            raise RuntimeError(
+                f"Cannot download '{name}' (no network access). Pass a local "
+                "directory containing model_config.json + weights instead."
+            ) from e
+
+    config_path = os.path.join(model_dir, "model_config.json")
+    with open(config_path) as f:
+        model_config = json.load(f)
+
+    model = create_model_from_config(model_config)
+
+    weight_candidates = [
+        "model.jax.safetensors", "model.npz", "model.safetensors", "model.ckpt",
+    ]
+    ckpt_path = None
+    for cand in weight_candidates:
+        p = os.path.join(model_dir, cand)
+        if os.path.exists(p):
+            ckpt_path = p
+            break
+    if ckpt_path is None:
+        raise FileNotFoundError(f"No weights found in {model_dir} (tried {weight_candidates})")
+
+    if ckpt_path.endswith((".jax.safetensors", ".npz")) or os.path.isdir(ckpt_path):
+        from .utils import load_ckpt_state_dict
+        from ..utils.common import _unflatten_dict
+
+        flat = load_ckpt_state_dict(ckpt_path)
+        model.params = _unflatten_dict(flat) if not any(isinstance(v, dict) for v in flat.values()) else flat
+    else:
+        from ..utils.torch_import import load_torch_checkpoint_into_model
+
+        load_torch_checkpoint_into_model(model, ckpt_path, model_config)
+
+    return model, model_config

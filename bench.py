@@ -1,0 +1,128 @@
+"""Benchmark: Stable Audio Open 1.0 text-to-audio throughput on TPU.
+
+Measures the BASELINE.md headline: secs-of-audio generated per second per
+chip for a 47.55 s stereo clip (sample_size 2,097,152 @ 44.1 kHz), 100-step
+dpmpp-3m-sde with CFG batch-doubling (the reference's default recipe,
+generate.py:28-31,135-137), through the full pipeline: DiT denoise scan
+(1024 latent frames, 64 channels) + Oobleck VAE decode.
+
+Weights are random-initialized (no pretrained checkpoints are downloadable
+here); throughput is architecture-determined, not weight-determined.
+
+Prints ONE JSON line:
+  {"metric": "secs_of_audio_per_sec_per_chip", "value": N,
+   "unit": "s_audio/s/chip", "vs_baseline": N}
+vs_baseline is value / 20 (driver target: >20x real-time per chip).
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_models(dtype=jnp.bfloat16):
+    from friendly_stable_audio_tools_tpu.models.autoencoders import (
+        AudioAutoencoder, AudioAutoencoderModule, OobleckDecoder, OobleckEncoder,
+    )
+    from friendly_stable_audio_tools_tpu.models.bottleneck import VAEBottleneck
+    from friendly_stable_audio_tools_tpu.models.dit import DiffusionTransformer
+
+    # SAO-1.0 VAE (reference stable_audio_open_1_0.json:7-40)
+    enc = OobleckEncoder(in_channels=2, channels=128, latent_dim=128,
+                         c_mults=(1, 2, 4, 8, 16), strides=(2, 4, 4, 8, 8), use_snake=True)
+    dec = OobleckDecoder(out_channels=2, channels=128, latent_dim=64,
+                         c_mults=(1, 2, 4, 8, 16), strides=(2, 4, 4, 8, 8),
+                         use_snake=True, final_tanh=False)
+    vae_module = AudioAutoencoderModule(encoder=enc, decoder=dec, bottleneck=VAEBottleneck())
+    vae = AudioAutoencoder(module=vae_module, latent_dim=64, downsampling_ratio=2048,
+                           sample_rate=44100, io_channels=2)
+
+    # SAO-1.0 DiT (reference stable_audio_open_1_0.json:71-86)
+    dit = DiffusionTransformer(
+        io_channels=64, embed_dim=1536, depth=24, num_heads=24,
+        cond_token_dim=768, global_cond_dim=1536,
+        transformer_type="continuous_transformer", global_cond_type="prepend",
+    )
+    return vae, dit
+
+
+def main():
+    sample_rate = 44100
+    sample_size = 2_097_152
+    latent_len = sample_size // 2048  # 1024
+    steps = int(os.environ.get("BENCH_STEPS", 100))
+    batch = int(os.environ.get("BENCH_BATCH", 1))
+    cfg_scale = 7.0
+    audio_seconds = sample_size / sample_rate  # 47.55
+
+    n_chips = jax.device_count()
+    vae, dit = build_models()
+
+    rng = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((batch, latent_len, 64), jnp.bfloat16)
+    t0 = jnp.zeros((batch,), jnp.float32)
+    cond = jax.random.normal(jax.random.fold_in(rng, 1), (batch, 130, 768), jnp.bfloat16) * 0.02
+    g = jax.random.normal(jax.random.fold_in(rng, 2), (batch, 1536), jnp.bfloat16) * 0.02
+
+    print("initializing params...", file=sys.stderr)
+    dit_params = dit.init(jax.random.PRNGKey(0), x0, t0, cross_attn_cond=cond, global_embed=g)["params"]
+    dit_params = jax.tree_util.tree_map(lambda p: (p * 0.5).astype(jnp.bfloat16), dit_params)
+    vae_params = vae.init(jax.random.PRNGKey(1), length=2048 * 4)
+    vae_params = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), vae_params)
+
+    from friendly_stable_audio_tools_tpu.inference.sampling import sample_k
+
+    @jax.jit
+    def generate(dit_params, vae_params, cond, g, noise, key):
+        def model_fn(x, t, **kw):
+            return dit.apply({"params": dit_params}, x.astype(jnp.bfloat16), t,
+                             cross_attn_cond=cond, global_embed=g, cfg_scale=cfg_scale)
+
+        latents = sample_k(
+            model_fn, noise, steps=steps, sampler_type="dpmpp-3m-sde",
+            sigma_min=0.3, sigma_max=500.0, rho=1.0, rng=key,
+        )
+        audio = vae._decode_nwc(latents.astype(jnp.bfloat16), params=vae_params)
+        return audio
+
+    noise = jax.random.normal(jax.random.fold_in(rng, 3), (batch, latent_len, 64), jnp.float32)
+
+    print("compiling + warmup...", file=sys.stderr)
+    t_start = time.time()
+    out = generate(dit_params, vae_params, cond, g, noise, jax.random.PRNGKey(1))
+    out.block_until_ready()
+    print(f"first call (compile+run): {time.time()-t_start:.1f}s", file=sys.stderr)
+
+    # timed runs
+    n_runs = int(os.environ.get("BENCH_RUNS", 3))
+    times = []
+    for i in range(n_runs):
+        t0_ = time.time()
+        out = generate(dit_params, vae_params, cond, g, noise, jax.random.PRNGKey(2 + i))
+        out.block_until_ready()
+        times.append(time.time() - t0_)
+    wall = min(times)
+    assert np.isfinite(np.asarray(out[:, :16, :], np.float32)).all(), "non-finite audio"
+
+    total_audio_seconds = audio_seconds * batch
+    value = total_audio_seconds / wall / n_chips
+    result = {
+        "metric": "secs_of_audio_per_sec_per_chip",
+        "value": round(value, 3),
+        "unit": "s_audio/s/chip",
+        "vs_baseline": round(value / 20.0, 3),
+    }
+    print(f"wall per gen: {wall:.2f}s for {total_audio_seconds:.1f}s audio "
+          f"({steps} steps, batch {batch}, {n_chips} chip)", file=sys.stderr)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

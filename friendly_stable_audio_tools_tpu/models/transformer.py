@@ -149,20 +149,40 @@ class Attention(nn.Module):
             q = apply_rotary_pos_emb(q, rotary_pos_emb)
             k = apply_rotary_pos_emb(k, rotary_pos_emb)
 
-        if kv_cache is not None:
-            # autoregressive decode: concatenate past keys/values
+        attn_mask = None
+        if kv_cache is not None and isinstance(kv_cache, dict):
+            # STATIC cache (scan-compatible decode): fixed-size [B, H, L, D]
+            # buffers; write the current (rotated) k/v at cache_index and
+            # attend over positions <= cache_index.
+            idx = kv_cache["index"]
+            k_buf = jax.lax.dynamic_update_slice(kv_cache["k"], k.astype(kv_cache["k"].dtype), (0, 0, idx, 0))
+            v_buf = jax.lax.dynamic_update_slice(kv_cache["v"], v.astype(kv_cache["v"].dtype), (0, 0, idx, 0))
+            new_kv = {"k": k_buf, "v": v_buf, "index": idx + q.shape[-2]}
+            k, v = k_buf, v_buf
+            # causal over the buffer: query i (absolute pos idx+i) sees <= idx+i
+            q_pos = idx + jnp.arange(q.shape[-2])
+            valid = jnp.arange(k.shape[-2])[None, :] <= q_pos[:, None]
+            attn_mask = valid[None, None, :, :]
+            causal = False  # masking handles causality over the buffer
+        elif kv_cache is not None:
+            # dynamic cache (host-loop decode): concatenate past keys/values
             k = jnp.concatenate([kv_cache[0], k], axis=-2)
             v = jnp.concatenate([kv_cache[1], v], axis=-2)
-
-        new_kv = (k, v)
+            new_kv = (k, v)
+        else:
+            new_kv = (k, v)
 
         # mask semantics: input mask [B, Tk] True=keep -> [B, 1, 1, Tk]
         input_mask = context_mask if has_context else mask
-        attn_mask = input_mask[:, None, None, :] if input_mask is not None else None
+        if attn_mask is None:
+            attn_mask = input_mask[:, None, None, :] if input_mask is not None else None
 
-        causal = self.causal if causal is None else causal
-        if q.shape[-2] == 1 and kv_cache is not None:
-            causal = False  # single-token decode attends to full cache
+        if isinstance(kv_cache, dict):
+            causal = False  # static-cache masking already enforces causality
+        else:
+            causal = self.causal if causal is None else causal
+            if q.shape[-2] == 1 and kv_cache is not None:
+                causal = False  # single-token decode attends to full cache
 
         if self.natten_kernel_size:
             out = windowed_attention(q, k, v, self.natten_kernel_size, mask=attn_mask)
@@ -379,9 +399,15 @@ class ContinuousTransformer(nn.Module):
             # reference uses max(dim_heads//2, 32); clamp to head dim so tiny
             # test configs stay valid (partial rotary otherwise)
             rot_dim = min(max(self.dim_heads // 2, 32), self.dim_heads)
-            total_len = rotary_offset + x.shape[1]
-            rot = rotary_freqs(total_len, rot_dim)
-            rot = rot[rotary_offset:] if kv_caches is None else rot
+            if kv_caches is not None and isinstance(kv_caches[0], dict):
+                # static-cache decode: positions start at the cache index
+                max_len = kv_caches[0]["k"].shape[-2]
+                table = rotary_freqs(max_len, rot_dim)
+                rot = jax.lax.dynamic_slice(table, (kv_caches[0]["index"], 0), (x.shape[1], rot_dim))
+            else:
+                total_len = rotary_offset + x.shape[1]
+                rot = rotary_freqs(total_len, rot_dim)
+                rot = rot[rotary_offset:] if kv_caches is None else rot
 
         if self.use_sinusoidal_emb:
             x = x + ScaledSinusoidalEmbedding(self.dim, name="pos_emb")(x)

@@ -147,7 +147,7 @@ class DiffusionCondTrainingWrapper:
         return TrainState(
             params=params,
             opt_state=self.tx.init(params),
-            ema_params=jax.tree_util.tree_map(lambda p: p, params["model"]) if self.use_ema else None,
+            ema_params=jax.tree_util.tree_map(jnp.copy, params["model"]) if self.use_ema else None,
             step=jnp.zeros((), jnp.int32),
             qmc_counter=jnp.zeros((), jnp.uint32),
         )
@@ -305,7 +305,7 @@ class DiffusionUncondTrainingWrapper:
         return TrainState(
             params=params,
             opt_state=self.tx.init(params),
-            ema_params=jax.tree_util.tree_map(lambda p: p, params["model"]) if self.use_ema else None,
+            ema_params=jax.tree_util.tree_map(jnp.copy, params["model"]) if self.use_ema else None,
             step=jnp.zeros((), jnp.int32),
             qmc_counter=jnp.zeros((), jnp.uint32),
         )

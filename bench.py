@@ -97,7 +97,7 @@ def main():
     print("compiling + warmup...", file=sys.stderr)
     t_start = time.time()
     out = generate(dit_params, vae_params, cond, g, noise, jax.random.PRNGKey(1))
-    out.block_until_ready()
+    _ = float(out[0, 0, 0])  # host transfer: the only reliable sync on this backend
     print(f"first call (compile+run): {time.time()-t_start:.1f}s", file=sys.stderr)
 
     # timed runs
@@ -106,7 +106,7 @@ def main():
     for i in range(n_runs):
         t0_ = time.time()
         out = generate(dit_params, vae_params, cond, g, noise, jax.random.PRNGKey(2 + i))
-        out.block_until_ready()
+        _ = float(out[0, 0, 0])  # force completion + host transfer
         times.append(time.time() - t0_)
     wall = min(times)
     assert np.isfinite(np.asarray(out[:, :16, :], np.float32)).all(), "non-finite audio"

@@ -1,0 +1,286 @@
+"""Gradio web interface.
+
+Parity target: reference `interface/gradio.py:25-738` — global model load,
+conditional generation with init-audio / inpaint-outpaint mask args,
+unconditional generation, LM generation, and per-model-type UIs
+(txt2audio Generation+Inpainting tabs, uncond, autoencoder process tab with
+latent-noise slider, diffusion-prior stereoize tab, LM tab). Timing sliders
+appear only when the conditioning config contains seconds_start /
+seconds_total ids (reference :401-424).
+
+gradio is an optional dependency; `create_ui` raises a clear error without it.
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import typing as tp
+
+import numpy as np
+
+MODEL = None
+MODEL_CONFIG = None
+SAMPLE_RATE = 44100
+SAMPLE_SIZE = 2097152
+
+
+def load_model(model_config=None, model_ckpt_path=None, pretrained_name=None,
+               pretransform_ckpt_path=None, device=None):
+    """reference gradio.py:25-56."""
+    global MODEL, MODEL_CONFIG, SAMPLE_RATE, SAMPLE_SIZE
+    import jax
+
+    if pretrained_name is not None:
+        from ..models.pretrained import get_pretrained_model
+
+        MODEL, MODEL_CONFIG = get_pretrained_model(pretrained_name)
+    else:
+        from ..models.factory import create_model_from_config
+
+        if isinstance(model_config, str):
+            with open(model_config) as f:
+                model_config = json.load(f)
+        MODEL_CONFIG = model_config
+        MODEL = create_model_from_config(model_config, init_rng=jax.random.PRNGKey(0))
+        if model_ckpt_path:
+            from ..models.utils import load_ckpt_state_dict
+            from ..utils.common import copy_state_dict
+
+            MODEL.params = copy_state_dict(MODEL.params, load_ckpt_state_dict(model_ckpt_path))
+
+    if pretransform_ckpt_path and getattr(MODEL, "pretransform", None) is not None:
+        from ..models.utils import load_ckpt_state_dict
+        from ..utils.common import copy_state_dict
+
+        MODEL.pretransform.model.params = copy_state_dict(
+            MODEL.pretransform.model.params, load_ckpt_state_dict(pretransform_ckpt_path))
+
+    SAMPLE_RATE = MODEL_CONFIG["sample_rate"]
+    SAMPLE_SIZE = MODEL_CONFIG["sample_size"]
+    return MODEL, MODEL_CONFIG
+
+
+def generate_cond(prompt, negative_prompt=None, seconds_start=0, seconds_total=30,
+                  cfg_scale=6.0, steps=250, preview_every=None, seed=-1,
+                  sampler_type="dpmpp-3m-sde", sigma_min=0.3, sigma_max=500,
+                  cfg_rescale=0.0, use_init=False, init_audio=None, init_noise_level=1.0,
+                  mask_cropfrom=None, mask_pastefrom=None, mask_pasteto=None,
+                  mask_maskstart=None, mask_maskend=None, mask_softnessL=None,
+                  mask_softnessR=None, mask_marination=None, batch_size=1):
+    """reference gradio.py:59-207."""
+    from ..inference.generation import generate_diffusion_cond
+
+    conditioning = [{"prompt": prompt, "seconds_start": seconds_start, "seconds_total": seconds_total}] * batch_size
+    negative_conditioning = None
+    if negative_prompt:
+        negative_conditioning = [
+            {"prompt": negative_prompt, "seconds_start": seconds_start, "seconds_total": seconds_total}
+        ] * batch_size
+
+    init = None
+    if use_init and init_audio is not None:
+        in_sr, audio = init_audio
+        audio = np.asarray(audio, np.float32)
+        if audio.dtype.kind == "i" or np.abs(audio).max() > 2:
+            audio = audio / 32768.0
+        audio = audio.T if audio.ndim == 2 else audio[None, :]
+        init = (in_sr, audio)
+
+    mask_args = None
+    if mask_maskstart is not None:
+        mask_args = {
+            "cropfrom": mask_cropfrom or 0.0,
+            "pastefrom": mask_pastefrom or 0.0,
+            "pasteto": mask_pasteto if mask_pasteto is not None else 100.0,
+            "maskstart": mask_maskstart,
+            "maskend": mask_maskend if mask_maskend is not None else 100.0,
+            "softnessL": mask_softnessL or 0.0,
+            "softnessR": mask_softnessR or 0.0,
+            "marination": mask_marination or 0.0,
+        }
+
+    audio = generate_diffusion_cond(
+        MODEL, steps=steps, cfg_scale=cfg_scale,
+        conditioning=conditioning, negative_conditioning=negative_conditioning,
+        sample_size=SAMPLE_SIZE, seed=seed, sampler_type=sampler_type,
+        sigma_min=sigma_min, sigma_max=sigma_max, scale_phi=cfg_rescale,
+        init_audio=init, init_noise_level=init_noise_level, mask_args=mask_args,
+    )
+    from ..utils.audio_utils import float_to_int16_audio
+
+    return (SAMPLE_RATE, float_to_int16_audio(np.asarray(audio)[0]).T)
+
+
+def generate_uncond(steps=250, seed=-1, sampler_type="dpmpp-3m-sde", sigma_min=0.3,
+                    sigma_max=500, use_init=False, init_audio=None, init_noise_level=1.0,
+                    batch_size=1):
+    """reference gradio.py:210-306."""
+    from ..inference.generation import generate_diffusion_uncond
+
+    init = None
+    if use_init and init_audio is not None:
+        in_sr, audio = init_audio
+        audio = np.asarray(audio, np.float32)
+        audio = audio.T if audio.ndim == 2 else audio[None, :]
+        init = (in_sr, audio)
+    audio = generate_diffusion_uncond(
+        MODEL, steps=steps, batch_size=batch_size, sample_size=SAMPLE_SIZE, seed=seed,
+        sampler_type=sampler_type, sigma_min=sigma_min, sigma_max=sigma_max,
+        init_audio=init, init_noise_level=init_noise_level,
+    )
+    from ..utils.audio_utils import float_to_int16_audio
+
+    return (SAMPLE_RATE, float_to_int16_audio(np.asarray(audio)[0]).T)
+
+
+def generate_lm(temperature=1.0, top_p=0.95, top_k=0, batch_size=1):
+    """reference gradio.py:309-339."""
+    import jax
+
+    max_len = SAMPLE_SIZE // MODEL.pretransform.downsampling_ratio
+    audio = MODEL.generate_audio(
+        batch_size=batch_size, max_gen_len=max_len,
+        temp=temperature, top_p=top_p, top_k=top_k,
+        rng=jax.random.PRNGKey(np.random.randint(0, 2**31 - 1)),
+    )
+    from ..utils.audio_utils import float_to_int16_audio
+
+    return (SAMPLE_RATE, float_to_int16_audio(np.asarray(audio)[0]).T)
+
+
+def process_audio(audio, latent_noise: float = 0.0, n_quantizers: int = 0):
+    """Autoencoder round-trip tab (reference gradio.py:555-619)."""
+    import jax
+
+    in_sr, data = audio
+    data = np.asarray(data, np.float32)
+    if data.dtype.kind == "i" or np.abs(data).max() > 2:
+        data = data / 32768.0
+    data = data.T if data.ndim == 2 else data[None, :]
+    batch = MODEL.preprocess_audio_for_encoder(data, in_sr)
+    latents = MODEL.encode_audio(batch, chunked=False)
+    if latent_noise > 0:
+        latents = latents + latent_noise * jax.random.normal(jax.random.PRNGKey(0), latents.shape)
+    out = MODEL.decode_audio(latents, chunked=False)
+    from ..utils.audio_utils import float_to_int16_audio
+
+    return (MODEL.sample_rate, float_to_int16_audio(np.asarray(out)[0]).T)
+
+
+def _has_timing_conds():
+    conditioning = (MODEL_CONFIG or {}).get("model", {}).get("conditioning", {})
+    ids = [c.get("id") for c in conditioning.get("configs", [])]
+    return "seconds_start" in ids or "seconds_total" in ids
+
+
+def create_ui(model_config=None, ckpt_path=None, pretrained_name=None,
+              pretransform_ckpt_path=None, model_half=False):
+    """reference gradio.py:700-738 (dispatch per model_type)."""
+    try:
+        import gradio as gr
+    except ImportError as e:
+        raise ImportError(
+            "gradio is not installed in this environment; `pip install gradio` "
+            "to use the web interface"
+        ) from e
+
+    load_model(model_config, ckpt_path, pretrained_name, pretransform_ckpt_path)
+    model_type = MODEL_CONFIG["model_type"]
+
+    if model_type in ("diffusion_cond", "diffusion_cond_inpaint"):
+        with gr.Blocks() as ui:
+            gr.Markdown("# friendly-stable-audio-tools-tpu: text-to-audio")
+            with gr.Tab("Generation"):
+                prompt = gr.Textbox(label="Prompt")
+                negative = gr.Textbox(label="Negative prompt")
+                with gr.Row():
+                    sec_start = gr.Slider(0, 512, value=0, label="Seconds start", visible=_has_timing_conds())
+                    sec_total = gr.Slider(0, 512, value=30, label="Seconds total", visible=_has_timing_conds())
+                with gr.Row():
+                    steps = gr.Slider(1, 500, value=100, step=1, label="Steps")
+                    cfg = gr.Slider(0, 25, value=7, label="CFG scale")
+                    cfg_rescale = gr.Slider(0, 1, value=0.0, label="CFG rescale")
+                sampler = gr.Dropdown(
+                    ["dpmpp-3m-sde", "dpmpp-2m-sde", "k-heun", "k-lms", "k-dpm-2",
+                     "k-dpmpp-2s-ancestral", "k-euler"], value="dpmpp-3m-sde", label="Sampler")
+                seed = gr.Number(value=-1, label="Seed (-1 random)")
+                use_init = gr.Checkbox(label="Use init audio")
+                init_audio = gr.Audio(label="Init audio")
+                init_noise = gr.Slider(0.1, 100, value=1.0, label="Init noise level")
+                out = gr.Audio(label="Output")
+                gr.Button("Generate").click(
+                    fn=lambda *a: generate_cond(*a),
+                    inputs=[prompt, negative, sec_start, sec_total, cfg, steps,
+                            gr.State(None), seed, sampler, gr.State(0.3), gr.State(500),
+                            cfg_rescale, use_init, init_audio, init_noise],
+                    outputs=out,
+                )
+            with gr.Tab("Inpainting"):
+                prompt2 = gr.Textbox(label="Prompt")
+                init_audio2 = gr.Audio(label="Input audio")
+                maskstart = gr.Slider(0, 100, value=25, label="Mask start %")
+                maskend = gr.Slider(0, 100, value=75, label="Mask end %")
+                softL = gr.Slider(0, 50, value=0, label="Softness L %")
+                softR = gr.Slider(0, 50, value=0, label="Softness R %")
+                marination = gr.Slider(0, 1, value=0.0, label="Marination")
+                out2 = gr.Audio(label="Output")
+                gr.Button("Inpaint").click(
+                    fn=lambda p, a, ms, me, sl, sr_, m: generate_cond(
+                        p, use_init=True, init_audio=a, mask_maskstart=ms, mask_maskend=me,
+                        mask_softnessL=sl, mask_softnessR=sr_, mask_marination=m),
+                    inputs=[prompt2, init_audio2, maskstart, maskend, softL, softR, marination],
+                    outputs=out2,
+                )
+        return ui
+
+    if model_type == "diffusion_uncond":
+        with gr.Blocks() as ui:
+            gr.Markdown("# friendly-stable-audio-tools-tpu: unconditional generation")
+            steps = gr.Slider(1, 500, value=250, step=1, label="Steps")
+            seed = gr.Number(value=-1, label="Seed")
+            out = gr.Audio(label="Output")
+            gr.Button("Generate").click(fn=lambda s, sd: generate_uncond(steps=int(s), seed=int(sd)),
+                                        inputs=[steps, seed], outputs=out)
+        return ui
+
+    if model_type in ("autoencoder", "diffusion_autoencoder"):
+        with gr.Blocks() as ui:
+            gr.Markdown("# friendly-stable-audio-tools-tpu: audio reconstruction")
+            inp = gr.Audio(label="Input audio")
+            latent_noise = gr.Slider(0.0, 10.0, value=0.0, label="Latent noise")
+            n_quantizers = gr.Slider(0, 32, value=0, step=1, label="# quantizers (0=all)")
+            out = gr.Audio(label="Reconstruction")
+            gr.Button("Process").click(fn=process_audio, inputs=[inp, latent_noise, n_quantizers], outputs=out)
+        return ui
+
+    if model_type == "diffusion_prior":
+        with gr.Blocks() as ui:
+            gr.Markdown("# friendly-stable-audio-tools-tpu: mono -> stereo")
+            inp = gr.Audio(label="Mono input")
+            steps = gr.Slider(1, 500, value=100, step=1, label="Steps")
+            out = gr.Audio(label="Stereo output")
+
+            def stereoize(audio, steps):
+                in_sr, data = audio
+                data = np.asarray(data, np.float32)
+                data = data.T if data.ndim == 2 else data[None, :]
+                result = MODEL.stereoize(data[None], in_sr, steps=int(steps))
+                from ..utils.audio_utils import float_to_int16_audio
+
+                return (MODEL.sample_rate, float_to_int16_audio(np.asarray(result)[0]).T)
+
+            gr.Button("Stereoize").click(fn=stereoize, inputs=[inp, steps], outputs=out)
+        return ui
+
+    if model_type == "lm":
+        with gr.Blocks() as ui:
+            gr.Markdown("# friendly-stable-audio-tools-tpu: audio language model")
+            temp = gr.Slider(0.0, 5.0, value=1.0, label="Temperature")
+            top_p = gr.Slider(0.0, 1.0, value=0.95, label="Top p")
+            top_k = gr.Slider(0, 500, value=0, step=1, label="Top k")
+            out = gr.Audio(label="Output")
+            gr.Button("Generate").click(fn=generate_lm, inputs=[temp, top_p, top_k], outputs=out)
+        return ui
+
+    raise ValueError(f"Unknown model type {model_type}")

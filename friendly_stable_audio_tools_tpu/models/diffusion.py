@@ -49,7 +49,13 @@ class DiffusionModelWrapper:
     def init(self, rng: jax.Array, length: int = 128) -> dict:
         x = jnp.zeros((1, length, self.io_channels), jnp.float32)
         t = jnp.zeros((1,), jnp.float32)
-        self.params = self.module.init(rng, x, t)["params"]
+        kwargs = {}
+        ic = getattr(self.module, "input_concat_dim", 0) or getattr(self.module, "cond_dim", 0)
+        if ic:
+            kwargs["input_concat_cond" if hasattr(self.module, "input_concat_dim") else "cond"] = (
+                jnp.zeros((1, length, ic), jnp.float32)
+            )
+        self.params = self.module.init(rng, x, t, **kwargs)["params"]
         self.params = scale_params(self.params, 0.5)
         return self.params
 
@@ -85,6 +91,7 @@ class ConditionedDiffusionModelWrapper:
     # populated by factories for shape math
     cond_token_dim: int = 0
     patch_size: int = 1
+    module_kind: str = "dit"  # "dit" | "adp_cfg_1d" | "adp_1d" | "DAU1d"
 
     def init(self, rng: jax.Array, length: int = 64) -> dict:
         kwargs = self._example_cond_kwargs()
@@ -97,6 +104,23 @@ class ConditionedDiffusionModelWrapper:
     def _example_cond_kwargs(self):
         """Build zero conditioning of the right shapes for init."""
         kwargs = {}
+        if self.module_kind == "adp_cfg_1d":
+            kwargs["embedding"] = jnp.zeros((1, 2, self.module.context_embedding_features))
+            if self.input_concat_ids and self.module.context_channels:
+                kwargs["channels_list"] = [jnp.zeros((1, 4, c)) for c in self.module.context_channels if c > 0]
+            if self.global_cond_ids and self.module.context_features:
+                kwargs["features"] = jnp.zeros((1, self.module.context_features))
+            return kwargs
+        if self.module_kind == "adp_1d":
+            if self.input_concat_ids and self.module.context_channels:
+                kwargs["channels_list"] = [jnp.zeros((1, 4, c)) for c in self.module.context_channels if c > 0]
+            if self.global_cond_ids and self.module.context_features:
+                kwargs["features"] = jnp.zeros((1, self.module.context_features))
+            return kwargs
+        if self.module_kind == "DAU1d":
+            if self.input_concat_ids and self.module.cond_dim:
+                kwargs["cond"] = jnp.zeros((1, 4, self.module.cond_dim))
+            return kwargs
         if self.cross_attn_cond_ids and getattr(self.module, "cond_token_dim", 0):
             kwargs["cross_attn_cond"] = jnp.zeros((1, 2, self.module.cond_token_dim))
         if self.global_cond_ids and getattr(self.module, "global_cond_dim", 0):
@@ -173,10 +197,43 @@ class ConditionedDiffusionModelWrapper:
                  rescale_cfg: bool = False, scale_phi: float = 0.0,
                  cfg_scale: float = 1.0, cfg_dropout_prob: float = 0.0,
                  rngs=None, train: bool = False, **kwargs):
-        """DiT adapter (reference DiTWrapper, diffusion.py:480-528): maps
-        wrapper kwarg names onto DiffusionTransformer kwargs."""
-        if rescale_cfg and scale_phi == 0.0:
-            scale_phi = 0.0  # reference passes rescale_cfg=True but scale_phi via kwargs
+        """Backbone adapter (reference wrapper classes, diffusion.py:212-549):
+        maps the wrapper kwarg names onto each backbone's kwargs."""
+        if self.module_kind == "adp_cfg_1d":
+            # reference UNetCFG1DWrapper (diffusion.py:212-266)
+            channels_list = [input_concat_cond] if input_concat_cond is not None else None
+            return self.module.apply(
+                {"params": params}, x, t,
+                embedding=cross_attn_cond,
+                embedding_mask=cross_attn_mask,
+                features=global_cond,
+                channels_list=channels_list,
+                embedding_scale=cfg_scale,
+                embedding_mask_proba=cfg_dropout_prob,
+                batch_cfg=batch_cfg,
+                rescale_cfg=rescale_cfg,
+                negative_embedding=negative_cross_attn_cond,
+                negative_embedding_mask=negative_cross_attn_mask,
+                train=train,
+                rngs=rngs,
+                **kwargs,
+            )
+        if self.module_kind == "adp_1d":
+            # reference UNet1DCondWrapper (diffusion.py:268-318)
+            channels_list = None
+            if input_concat_cond is not None:
+                if input_concat_cond.shape[1] != x.shape[1]:
+                    idx = (jnp.arange(x.shape[1]) * input_concat_cond.shape[1]) // x.shape[1]
+                    input_concat_cond = input_concat_cond[:, idx, :]
+                channels_list = [input_concat_cond]
+            return self.module.apply(
+                {"params": params}, x, t, features=global_cond,
+                channels_list=channels_list, rngs=rngs, **kwargs,
+            )
+        if self.module_kind == "DAU1d":
+            # reference DAU1DCondWrapper (diffusion.py:340-374)
+            return self.module.apply({"params": params}, x, t, cond=input_concat_cond, rngs=rngs, **kwargs)
+        # DiT (reference DiTWrapper, diffusion.py:480-528)
         return self.module.apply(
             {"params": params},
             x,
@@ -281,6 +338,7 @@ def create_diffusion_cond_from_config(config: tp.Dict[str, tp.Any]):
     else:
         min_input_length = 1
 
+    module_kind = diffusion_model_type
     if diffusion_model_type == "dit":
         module = DiffusionTransformer(**diffusion_model_config)
         min_input_length *= module.patch_size
@@ -291,6 +349,12 @@ def create_diffusion_cond_from_config(config: tp.Dict[str, tp.Any]):
         cls = UNetCFG1d if diffusion_model_type == "adp_cfg_1d" else UNet1d
         module = cls(**diffusion_model_config)
         min_input_length *= int(np.prod(diffusion_model_config["factors"]))
+        patch_size = 1
+    elif diffusion_model_type == "DAU1d":
+        from .dance_diffusion import DiffusionAttnUnet1D
+
+        module = DiffusionAttnUnet1D(**diffusion_model_config)
+        min_input_length *= int(np.prod(diffusion_model_config.get("strides", [2] * 13)))
         patch_size = 1
     else:
         raise NotImplementedError(f"Unknown model type: {diffusion_model_type}")
@@ -320,5 +384,6 @@ def create_diffusion_cond_from_config(config: tp.Dict[str, tp.Any]):
         pretransform=pretransform,
         io_channels=io_channels,
         patch_size=patch_size,
+        module_kind=module_kind,
         **extra_kwargs,
     )

@@ -25,10 +25,13 @@ def create_training_wrapper_from_config(model_config: dict, model):
             teacher_ckpt = training_config.get("teacher_model_ckpt", None)
             if teacher_ckpt is None:
                 raise ValueError("teacher_model_ckpt must be specified if teacher_model is specified")
+            import jax as _jax
+
             from ..models.utils import load_ckpt_state_dict
             from ..utils.common import copy_state_dict
 
-            teacher.params = copy_state_dict(teacher.init_like(), load_ckpt_state_dict(teacher_ckpt))
+            teacher.init(_jax.random.PRNGKey(0))
+            teacher.params = copy_state_dict(teacher.params, load_ckpt_state_dict(teacher_ckpt))
             teacher_model = teacher
 
         return AutoencoderTrainingWrapper(

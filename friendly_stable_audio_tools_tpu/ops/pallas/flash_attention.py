@@ -1,0 +1,153 @@
+"""Flash attention Pallas kernel for TPU.
+
+Replaces the reference's FlashAttention-2 CUDA dependency
+(reference models/transformer.py:14-19,496-504) for the DiT self-attention
+hot path (1024-6144 latent tokens, head_dim 64/128).
+
+Design:
+  * grid over (batch*heads, q_blocks); K/V for one (b,h) live fully in VMEM
+    (6144 x 64 bf16 = 0.75 MB each), so the inner loop is pure compute —
+    online-softmax accumulation in fp32 on the MXU, no [T, T] score
+    materialization in HBM.
+  * causal variant skips fully-masked K blocks via the grid index.
+  * backward pass: recomputation via the XLA attention vjp (correct, and
+    memory-fine at the sequence lengths the training configs use); a custom
+    bwd kernel is the next optimization step for very long sequences.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_K = 512
+NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, causal: bool, scale: float, kv_len: int):
+    bq = q_ref.shape[0]
+    t_k = k_ref.shape[0]
+    d = q_ref.shape[1]
+    n_k = t_k // block_k
+    qi = pl.program_id(1)
+
+    q = q_ref[:].astype(jnp.float32) * scale
+
+    def body(j, carry):
+        m, l, acc = carry
+        k = k_ref[pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # [bq, bk]
+        k_pos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
+        if causal:
+            q_pos = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 0)
+            s = jnp.where(k_pos <= q_pos, s, NEG_INF)
+        if kv_len % block_k != 0:
+            s = jnp.where(k_pos < kv_len, s, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+
+    if causal:
+        # only K blocks overlapping [0, (qi+1)*bq) contribute
+        n_active = jnp.minimum(((qi + 1) * bq + block_k - 1) // block_k, n_k)
+        m, l, acc = jax.lax.fori_loop(0, n_active, body, (m0, l0, acc0))
+    else:
+        m, l, acc = jax.lax.fori_loop(0, n_k, body, (m0, l0, acc0))
+
+    o_ref[:] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _flash_forward(q, k, v, causal: bool, block_q: int, block_k: int):
+    bh, t_q, d = q.shape
+    t_k = k.shape[1]
+    scale = 1.0 / math.sqrt(d)
+
+    # pad to block multiples
+    pq = (block_q - t_q % block_q) % block_q
+    pk = (block_k - t_k % block_k) % block_k
+    if pq:
+        q = jnp.pad(q, ((0, 0), (0, pq), (0, 0)))
+    if pk:
+        # padded K positions are masked to NEG_INF inside the kernel (kv_len)
+        k = jnp.pad(k, ((0, 0), (0, pk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pk), (0, 0)))
+
+    t_qp, t_kp = q.shape[1], k.shape[1]
+
+    kernel = functools.partial(_flash_kernel, block_k=block_k, causal=causal, scale=scale, kv_len=t_k)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(bh, t_qp // block_q),
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((None, t_kp, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((None, t_kp, d), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, t_qp, d), q.dtype),
+    )(q, k, v)
+
+    if pq:
+        out = out[:, :t_q]
+    return out
+
+
+def _xla_reference(q, k, v, causal):
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    logits = jnp.einsum("bid,bjd->bij", q.astype(jnp.float32), k.astype(jnp.float32)) * scale
+    if causal:
+        i, j = q.shape[-2], k.shape[-2]
+        mask = jnp.tril(jnp.ones((i, j), bool), k=j - i)
+        logits = jnp.where(mask, logits, -1e30)
+    p = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bij,bjd->bid", p.astype(v.dtype), v).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash(q, k, v, causal, block_q, block_k):
+    return _flash_forward(q, k, v, causal, block_q, block_k)
+
+
+def _flash_fwd(q, k, v, causal, block_q, block_k):
+    return _flash_forward(q, k, v, causal, block_q, block_k), (q, k, v)
+
+
+def _flash_bwd(causal, block_q, block_k, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_reference(q_, k_, v_, causal), q, k, v)
+    return vjp(g)
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(q, k, v, causal: bool = False,
+                    block_q: int = DEFAULT_BLOCK_Q, block_k: int = DEFAULT_BLOCK_K):
+    """q/k/v: [B, H, T, D] -> [B, H, T, D]. Self-attention (Tq == Tk), no
+    padding mask (the DiT inference path guarantees this; ops/attention.py
+    falls back to the XLA path otherwise)."""
+    b, h, t, d = q.shape
+    bq = min(block_q, t)
+    bk = min(block_k, t)
+    qf = q.reshape(b * h, t, d)
+    kf = k.reshape(b * h, t, d)
+    vf = v.reshape(b * h, t, d)
+    out = _flash(qf, kf, vf, causal, bq, bk)
+    return out.reshape(b, h, t, d)

@@ -232,12 +232,20 @@ class ResidualVQ(nn.Module):
 
 
 class RVQBottleneck(DiscreteBottleneck):
-    """reference bottleneck.py:118-137"""
+    """reference bottleneck.py:118-137.
+
+    `decay`/`threshold_ema_dead_code`/`kmeans_init` are lucidrains EMA-update
+    options accepted for config parity; codebooks here train via the
+    commitment/codebook losses instead (stateless, jit-native)."""
 
     num_quantizers: int = 8
     codebook_size: int = 1024
     codebook_dim: tp.Optional[int] = None
     dim: tp.Optional[int] = None  # latent dim (lucidrains kwarg name)
+    decay: float = 0.99
+    threshold_ema_dead_code: int = 2
+    kmeans_init: bool = False
+    kmeans_iters: int = 10
     tokens_id: tp.ClassVar[str] = "quantizer_indices"
 
     def setup(self):

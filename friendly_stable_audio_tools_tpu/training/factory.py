@@ -34,14 +34,21 @@ def create_training_wrapper_from_config(model_config: dict, model):
             teacher.params = copy_state_dict(teacher.params, load_ckpt_state_dict(teacher_ckpt))
             teacher_model = teacher
 
+        lr = training_config["learning_rate"]
+        # older shipped configs omit optimizer_configs (lr-only); default to
+        # the reference's AdamW recipe per side
+        optimizer_configs = training_config.get("optimizer_configs") or {
+            "autoencoder": {"optimizer": {"type": "AdamW", "config": {"lr": lr, "betas": [0.8, 0.99]}}},
+            "discriminator": {"optimizer": {"type": "AdamW", "config": {"lr": lr, "betas": [0.8, 0.99]}}},
+        }
         return AutoencoderTrainingWrapper(
             model,
-            lr=training_config["learning_rate"],
+            lr=lr,
             warmup_steps=training_config.get("warmup_steps", 0),
             encoder_freeze_on_warmup=training_config.get("encoder_freeze_on_warmup", False),
             sample_rate=model_config["sample_rate"],
             loss_config=training_config["loss_configs"],
-            optimizer_configs=training_config["optimizer_configs"],
+            optimizer_configs=optimizer_configs,
             use_ema=training_config.get("use_ema", False),
             force_input_mono=training_config.get("force_input_mono", False),
             latent_mask_ratio=training_config.get("latent_mask_ratio", 0.0),

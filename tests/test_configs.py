@@ -1,0 +1,47 @@
+"""Instantiate every shipped JSON model config through the factory
+(SURVEY.md §4 test plan item b). Full-size models are constructed WITHOUT
+param init (shape math + module construction only) to keep tests fast;
+training wrappers are constructed for configs that define training blocks.
+"""
+
+import json
+from pathlib import Path
+
+import pytest
+
+CONFIG_DIR = Path(__file__).resolve().parent.parent / "friendly_stable_audio_tools_tpu" / "configs" / "model_configs"
+
+ALL_CONFIGS = sorted(CONFIG_DIR.rglob("*.json"))
+
+# configs whose conditioners need unavailable pretrained checkpoints (CLAP)
+NEEDS_CLAP = {"stable_audio_1_0.json", "stable_audio_2_0.json"}
+
+
+@pytest.mark.parametrize("path", ALL_CONFIGS, ids=lambda p: p.name)
+def test_factory_builds_shipped_config(path):
+    from friendly_stable_audio_tools_tpu.models.factory import create_model_from_config
+
+    with open(path) as f:
+        config = json.load(f)
+
+    if path.name in NEEDS_CLAP:
+        with pytest.raises(NotImplementedError):
+            create_model_from_config(config)
+        return
+
+    model = create_model_from_config(config)
+    assert model is not None
+
+
+@pytest.mark.parametrize("path", ALL_CONFIGS, ids=lambda p: p.name)
+def test_training_wrapper_builds_for_shipped_config(path):
+    from friendly_stable_audio_tools_tpu.models.factory import create_model_from_config
+    from friendly_stable_audio_tools_tpu.training.factory import create_training_wrapper_from_config
+
+    with open(path) as f:
+        config = json.load(f)
+    if path.name in NEEDS_CLAP or "training" not in config:
+        pytest.skip("no training block or needs CLAP ckpt")
+    model = create_model_from_config(config)
+    wrapper = create_training_wrapper_from_config(config, model)
+    assert wrapper is not None

@@ -1,0 +1,275 @@
+"""PyTorch -> JAX checkpoint conversion.
+
+Maps the reference's unwrapped state_dicts (torch naming) onto this
+framework's flax parameter trees so released checkpoints (e.g.
+stabilityai/stable-audio-open-1.0 `model.safetensors`) load directly
+(SURVEY.md §7 step 1: "the converter is needed first because parity testing
+drives all subsequent work").
+
+Key layout conversions:
+  * Linear:          torch (out, in)        -> kernel (in, out)
+  * Conv1d:          torch (out, in, k)     -> kernel/v (k, in, out)
+  * ConvTranspose1d: torch (in, out, k)     -> kernel/v (k, in, out)
+  * weight_g:        (out|in, 1, 1)         -> (out|in,)
+  * Embedding:       unchanged (n, d)
+
+Name mapping covers: Oobleck VAE (encoder/decoder/bottleneck), the DiT stack
+(DiffusionTransformer + ContinuousTransformer), conditioners
+(NumberConditioner / IntConditioner / TokenizerLUT), and the HF T5 encoder.
+"""
+
+from __future__ import annotations
+
+import re
+import typing as tp
+
+import numpy as np
+
+
+def _t_linear(w):
+    return np.asarray(w).T
+
+
+def _t_conv(w):
+    return np.asarray(w).transpose(2, 1, 0)
+
+
+def _t_convtr(w):
+    return np.asarray(w).transpose(2, 0, 1)
+
+
+def _t_g(g):
+    return np.asarray(g).reshape(-1)
+
+
+def _set(tree: dict, path: str, value):
+    parts = path.split("/")
+    cur = tree
+    for p in parts[:-1]:
+        cur = cur.setdefault(p, {})
+    cur[parts[-1]] = np.asarray(value)
+
+
+# ---------------------------------------------------------------------------
+# Oobleck VAE
+# ---------------------------------------------------------------------------
+
+
+def _convert_wn_conv(out, torch_sd, torch_prefix, jax_prefix, transposed=False):
+    """weight-normalized conv params (v, g, bias?)."""
+    tv = _t_convtr if transposed else _t_conv
+    for tkey, jkey, fn in ((f"{torch_prefix}.weight_v", f"{jax_prefix}/v", tv),
+                           (f"{torch_prefix}.weight_g", f"{jax_prefix}/g", _t_g),
+                           (f"{torch_prefix}.bias", f"{jax_prefix}/bias", np.asarray),
+                           # torch >= 2.1 parametrized naming
+                           (f"{torch_prefix}.parametrizations.weight.original1", f"{jax_prefix}/v", tv),
+                           (f"{torch_prefix}.parametrizations.weight.original0", f"{jax_prefix}/g", _t_g)):
+        if tkey in torch_sd:
+            _set(out, jkey, fn(torch_sd[tkey]))
+
+
+def _convert_snake(out, torch_sd, torch_prefix, jax_prefix):
+    for p in ("alpha", "beta"):
+        k = f"{torch_prefix}.{p}"
+        if k in torch_sd:
+            _set(out, f"{jax_prefix}/{p}", np.asarray(torch_sd[k]))
+
+
+def _convert_residual_unit(out, sd, tp_, jp):
+    """ResidualUnit.layers = [act1, conv1, act2, conv2] (autoencoders.py:45-68)."""
+    _convert_snake(out, sd, f"{tp_}.layers.0", f"{jp}/act1")
+    _convert_wn_conv(out, sd, f"{tp_}.layers.1", f"{jp}/conv1")
+    _convert_snake(out, sd, f"{tp_}.layers.2", f"{jp}/act2")
+    _convert_wn_conv(out, sd, f"{tp_}.layers.3", f"{jp}/conv2")
+
+
+def convert_oobleck_encoder(sd: dict, prefix: str = "encoder", n_blocks: int = 5) -> dict:
+    """OobleckEncoder.layers = [conv_in, blocks..., act_out, conv_out]."""
+    out: dict = {}
+    _convert_wn_conv(out, sd, f"{prefix}.layers.0", "conv_in")
+    for i in range(n_blocks):
+        bp = f"{prefix}.layers.{1 + i}.layers"
+        jb = f"block{i}"
+        for j in range(3):
+            _convert_residual_unit(out, sd, f"{bp}.{j}", f"{jb}/res{j}")
+        _convert_snake(out, sd, f"{bp}.3", f"{jb}/act")
+        _convert_wn_conv(out, sd, f"{bp}.4", f"{jb}/down")
+    _convert_snake(out, sd, f"{prefix}.layers.{1 + n_blocks}", "act_out")
+    _convert_wn_conv(out, sd, f"{prefix}.layers.{2 + n_blocks}", "conv_out")
+    return out
+
+
+def convert_oobleck_decoder(sd: dict, prefix: str = "decoder", n_blocks: int = 5) -> dict:
+    """OobleckDecoder.layers = [conv_in, blocks..., act_out, conv_out, tanh]."""
+    out: dict = {}
+    _convert_wn_conv(out, sd, f"{prefix}.layers.0", "conv_in")
+    for i in range(n_blocks):
+        bp = f"{prefix}.layers.{1 + i}.layers"
+        jb = f"block{i}"
+        _convert_snake(out, sd, f"{bp}.0", f"{jb}/act")
+        # upsample: WNConvTranspose1d OR nearest Sequential(Upsample, WNConv1d)
+        if f"{bp}.1.weight_v" in sd or f"{bp}.1.parametrizations.weight.original1" in sd:
+            _convert_wn_conv(out, sd, f"{bp}.1", f"{jb}/up", transposed=True)
+        else:
+            _convert_wn_conv(out, sd, f"{bp}.1.1", f"{jb}/up")
+        for j in range(3):
+            _convert_residual_unit(out, sd, f"{bp}.{2 + j}", f"{jb}/res{j}")
+    _convert_snake(out, sd, f"{prefix}.layers.{1 + n_blocks}", "act_out")
+    _convert_wn_conv(out, sd, f"{prefix}.layers.{2 + n_blocks}", "conv_out")
+    return out
+
+
+def convert_autoencoder_state_dict(sd: dict, n_enc_blocks: int = 5, n_dec_blocks: int = 5) -> dict:
+    """Full AudioAutoencoder state dict -> flax params for
+    AudioAutoencoderModule (encoder/decoder/bottleneck)."""
+    out = {
+        "encoder": convert_oobleck_encoder(sd, "encoder", n_enc_blocks),
+        "decoder": convert_oobleck_decoder(sd, "decoder", n_dec_blocks),
+    }
+    # discrete bottlenecks carry quantizer params
+    bn: dict = {}
+    for k, v in sd.items():
+        m = re.match(r"bottleneck\.quantizer\.quantizers\.(\d+)\.codebook\.weight", k)
+        if m:
+            _set(bn, f"quantizer/quantizer_{m.group(1)}/codebook", np.asarray(v))
+    if bn:
+        out["bottleneck"] = bn
+    return out
+
+
+# ---------------------------------------------------------------------------
+# DiT / ContinuousTransformer
+# ---------------------------------------------------------------------------
+
+_DIT_RULES: tp.Sequence[tp.Tuple[str, str, tp.Callable]] = (
+    (r"^timestep_features\.weight$", "timestep_features/weight", np.asarray),
+    (r"^to_timestep_embed\.(\d)\.weight$", r"to_timestep_embed/\1/kernel", _t_linear),
+    (r"^to_timestep_embed\.(\d)\.bias$", r"to_timestep_embed/\1/bias", np.asarray),
+    (r"^to_cond_embed\.(\d)\.weight$", r"to_cond_embed/\1/kernel", _t_linear),
+    (r"^to_global_embed\.(\d)\.weight$", r"to_global_embed/\1/kernel", _t_linear),
+    (r"^to_prepend_embed\.(\d)\.weight$", r"to_prepend_embed/\1/kernel", _t_linear),
+    (r"^preprocess_conv\.weight$", "preprocess_conv/kernel", _t_conv),
+    (r"^postprocess_conv\.weight$", "postprocess_conv/kernel", _t_conv),
+    (r"^transformer\.project_in\.weight$", "transformer/project_in/kernel", _t_linear),
+    (r"^transformer\.project_out\.weight$", "transformer/project_out/kernel", _t_linear),
+    (r"^transformer\.layers\.(\d+)\.pre_norm\.gamma$", r"transformer/layer\1/pre_norm/gamma", np.asarray),
+    (r"^transformer\.layers\.(\d+)\.pre_norm\.beta$", r"transformer/layer\1/pre_norm/beta", np.asarray),
+    (r"^transformer\.layers\.(\d+)\.self_attn\.to_qkv\.weight$", r"transformer/layer\1/self_attn/to_qkv/kernel", _t_linear),
+    (r"^transformer\.layers\.(\d+)\.self_attn\.to_out\.weight$", r"transformer/layer\1/self_attn/to_out/kernel", _t_linear),
+    (r"^transformer\.layers\.(\d+)\.cross_attend_norm\.gamma$", r"transformer/layer\1/cross_attend_norm/gamma", np.asarray),
+    (r"^transformer\.layers\.(\d+)\.cross_attn\.to_q\.weight$", r"transformer/layer\1/cross_attn/to_q/kernel", _t_linear),
+    (r"^transformer\.layers\.(\d+)\.cross_attn\.to_kv\.weight$", r"transformer/layer\1/cross_attn/to_kv/kernel", _t_linear),
+    (r"^transformer\.layers\.(\d+)\.cross_attn\.to_out\.weight$", r"transformer/layer\1/cross_attn/to_out/kernel", _t_linear),
+    (r"^transformer\.layers\.(\d+)\.ff_norm\.gamma$", r"transformer/layer\1/ff_norm/gamma", np.asarray),
+    (r"^transformer\.layers\.(\d+)\.ff\.ff\.0\.proj\.weight$", r"transformer/layer\1/ff/linear_in/proj/kernel", _t_linear),
+    (r"^transformer\.layers\.(\d+)\.ff\.ff\.0\.proj\.bias$", r"transformer/layer\1/ff/linear_in/proj/bias", np.asarray),
+    (r"^transformer\.layers\.(\d+)\.ff\.ff\.2\.weight$", r"transformer/layer\1/ff/linear_out/kernel", _t_linear),
+    (r"^transformer\.layers\.(\d+)\.ff\.ff\.2\.bias$", r"transformer/layer\1/ff/linear_out/bias", np.asarray),
+    (r"^transformer\.layers\.(\d+)\.to_scale_shift_gate\.1\.weight$", r"transformer/layer\1/to_scale_shift_gate/kernel", _t_linear),
+)
+
+
+def convert_dit_state_dict(sd: dict, prefix: str = "model.model.") -> dict:
+    """DiffusionTransformer state dict (reference dit.py naming) -> flax tree."""
+    out: dict = {}
+    plen = len(prefix)
+    for k, v in sd.items():
+        if not k.startswith(prefix):
+            continue
+        key = k[plen:]
+        for pat, repl, fn in _DIT_RULES:
+            if re.match(pat, key):
+                _set(out, re.sub(pat, repl, key), fn(v))
+                break
+    return out
+
+
+def convert_number_conditioner(sd: dict, prefix: str) -> dict:
+    """NumberConditioner.embedder = NumberEmbedder(TimePositionalEmbedding)
+    (reference conditioners.py:64-102, adp.py:1495-1514)."""
+    out: dict = {}
+    _set(out, "embedder/pos/weights", np.asarray(sd[f"{prefix}.embedder.embedding.0.weights"]))
+    _set(out, "embedder/to_out/kernel", _t_linear(sd[f"{prefix}.embedder.embedding.1.weight"]))
+    _set(out, "embedder/to_out/bias", np.asarray(sd[f"{prefix}.embedder.embedding.1.bias"]))
+    return out
+
+
+def convert_t5_encoder(sd: dict, prefix: str = "") -> dict:
+    """HF T5EncoderModel state dict -> models/t5.py tree."""
+    out: dict = {}
+
+    def g(k):
+        return np.asarray(sd[prefix + k])
+
+    _set(out, "shared/embedding", g("shared.weight"))
+    n = 0
+    while f"{prefix}encoder.block.{n}.layer.0.SelfAttention.q.weight" in sd:
+        b = f"encoder.block.{n}"
+        jb = f"block{n}"
+        for name in ("q", "k", "v", "o"):
+            _set(out, f"{jb}/attn/{name}/kernel", _t_linear(g(f"{b}.layer.0.SelfAttention.{name}.weight")))
+        if f"{prefix}{b}.layer.0.SelfAttention.relative_attention_bias.weight" in sd:
+            _set(out, f"{jb}/attn/relative_attention_bias",
+                 g(f"{b}.layer.0.SelfAttention.relative_attention_bias.weight"))
+        _set(out, f"{jb}/ln1/weight", g(f"{b}.layer.0.layer_norm.weight"))
+        ff = f"{b}.layer.1.DenseReluDense"
+        if f"{prefix}{ff}.wi.weight" in sd:
+            _set(out, f"{jb}/ff/wi/kernel", _t_linear(g(f"{ff}.wi.weight")))
+        else:
+            _set(out, f"{jb}/ff/wi_0/kernel", _t_linear(g(f"{ff}.wi_0.weight")))
+            _set(out, f"{jb}/ff/wi_1/kernel", _t_linear(g(f"{ff}.wi_1.weight")))
+        _set(out, f"{jb}/ff/wo/kernel", _t_linear(g(f"{ff}.wo.weight")))
+        _set(out, f"{jb}/ln2/weight", g(f"{b}.layer.1.layer_norm.weight"))
+        n += 1
+    _set(out, "final_layer_norm/weight", g("encoder.final_layer_norm.weight"))
+    return out
+
+
+def load_torch_checkpoint_into_model(model, ckpt_path: str, model_config: dict) -> None:
+    """Load a reference-format unwrapped checkpoint into a built model."""
+    from ..models.utils import load_ckpt_state_dict
+    from .common import copy_state_dict
+
+    sd = load_ckpt_state_dict(ckpt_path)
+    model_type = model_config["model_type"]
+
+    if model_type == "autoencoder":
+        n_blocks = len(model_config["model"]["encoder"]["config"].get("c_mults", [1] * 5))
+        converted = convert_autoencoder_state_dict(sd, n_blocks, n_blocks)
+        if model.params is None:
+            import jax
+
+            model.init(jax.random.PRNGKey(0))
+        model.params = copy_state_dict(model.params, converted)
+        return
+
+    if model_type in ("diffusion_cond", "diffusion_cond_inpaint", "diffusion_prior"):
+        import jax
+
+        if model.params is None:
+            model.init(jax.random.PRNGKey(0))
+        converted = convert_dit_state_dict(sd, "model.model.")
+        model.params = copy_state_dict(model.params, converted)
+        # conditioners
+        if model.conditioner is not None:
+            for cid, cond in model.conditioner.conditioners.items():
+                cprefix = f"conditioner.conditioners.{cid}"
+                try:
+                    from ..models.conditioners import NumberConditioner
+
+                    if isinstance(cond, NumberConditioner):
+                        conv = convert_number_conditioner(sd, cprefix)
+                        cond.params = copy_state_dict(cond.params, {"embed" if "embed" in (cond.params or {}) else "embedder": conv.get("embedder", conv)}) if cond.params else conv
+                        # structure: module M wraps NumberEmbedder under name "embedder"
+                        cond.params = copy_state_dict(cond.params, conv)
+                except KeyError:
+                    pass
+        # pretransform VAE weights may be embedded under pretransform.model.*
+        if model.pretransform is not None and any(k.startswith("pretransform.model.") for k in sd):
+            sub = {k[len("pretransform.model."):]: v for k, v in sd.items() if k.startswith("pretransform.model.")}
+            n_blocks = 5
+            model.pretransform.model.params = copy_state_dict(
+                model.pretransform.model.params, convert_autoencoder_state_dict(sub, n_blocks, n_blocks))
+        return
+
+    raise NotImplementedError(f"torch import for model_type={model_type} not implemented yet")

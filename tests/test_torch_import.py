@@ -1,0 +1,183 @@
+"""Converter: torch-layout state dicts -> flax trees.
+
+Validated two ways: (1) structural — converted trees slot into flax-init
+params with zero mismatches for tiny models; (2) numeric — a hand-built
+torch Sequential mirroring the reference Oobleck block produces identical
+outputs through the converted JAX model.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import torch
+
+from friendly_stable_audio_tools_tpu.utils.common import _flatten_dict
+from friendly_stable_audio_tools_tpu.utils.torch_import import (
+    convert_autoencoder_state_dict,
+    convert_dit_state_dict,
+    convert_t5_encoder,
+)
+
+
+def _wn(conv):
+    return torch.nn.utils.weight_norm(conv)
+
+
+class SnakeBeta(torch.nn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.alpha = torch.nn.Parameter(torch.zeros(c))
+        self.beta = torch.nn.Parameter(torch.zeros(c))
+
+    def forward(self, x):
+        a = torch.exp(self.alpha)[None, :, None]
+        b = torch.exp(self.beta)[None, :, None]
+        return x + (1.0 / (b + 1e-9)) * torch.sin(x * a) ** 2
+
+
+def build_torch_oobleck_encoder(in_ch=2, channels=4, c_mults=(1, 2), strides=(2, 4), latent=8):
+    """Mirror of the reference OobleckEncoder structure (autoencoders.py:119-153)
+    for converter validation."""
+    import math
+
+    def residual_unit(c, d):
+        return torch.nn.Sequential(
+            SnakeBeta(c), _wn(torch.nn.Conv1d(c, c, 7, dilation=d, padding=(d * 6) // 2)),
+            SnakeBeta(c), _wn(torch.nn.Conv1d(c, c, 1)),
+        )
+
+    class RU(torch.nn.Module):
+        def __init__(self, c, d):
+            super().__init__()
+            self.layers = residual_unit(c, d)
+
+        def forward(self, x):
+            return x + self.layers(x)
+
+    class Block(torch.nn.Module):
+        def __init__(self, cin, cout, s):
+            super().__init__()
+            self.layers = torch.nn.Sequential(
+                RU(cin, 1), RU(cin, 3), RU(cin, 9), SnakeBeta(cin),
+                _wn(torch.nn.Conv1d(cin, cout, 2 * s, stride=s, padding=math.ceil(s / 2))),
+            )
+
+        def forward(self, x):
+            return self.layers(x)
+
+    cm = [1] + list(c_mults)
+    layers = [_wn(torch.nn.Conv1d(in_ch, cm[0] * channels, 7, padding=3))]
+    for i in range(len(cm) - 1):
+        layers.append(Block(cm[i] * channels, cm[i + 1] * channels, strides[i]))
+    layers += [SnakeBeta(cm[-1] * channels), _wn(torch.nn.Conv1d(cm[-1] * channels, latent, 3, padding=1))]
+
+    class Enc(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.layers = torch.nn.Sequential(*layers)
+
+        def forward(self, x):
+            return self.layers(x)
+
+    return Enc()
+
+
+def test_oobleck_encoder_conversion_numerically_exact():
+    torch.manual_seed(0)
+    tenc = build_torch_oobleck_encoder()
+    x = torch.randn(1, 2, 64)
+    with torch.no_grad():
+        ref = tenc(x).numpy()
+
+    sd = {f"encoder.{k}": v.detach().numpy() for k, v in tenc.state_dict().items()}
+    converted = convert_autoencoder_state_dict(sd, n_enc_blocks=2, n_dec_blocks=0)
+
+    from friendly_stable_audio_tools_tpu.models.autoencoders import OobleckEncoder
+
+    jenc = OobleckEncoder(in_channels=2, channels=4, latent_dim=8, c_mults=(1, 2),
+                          strides=(2, 4), use_snake=True)
+    init = jenc.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 2)))["params"]
+    # structural match
+    init_keys = set(_flatten_dict(init))
+    conv_keys = set(_flatten_dict(converted["encoder"]))
+    assert init_keys == conv_keys, (sorted(init_keys - conv_keys), sorted(conv_keys - init_keys))
+
+    got = jenc.apply({"params": jax.tree_util.tree_map(jnp.asarray, converted["encoder"])},
+                     jnp.asarray(x.numpy().transpose(0, 2, 1)))
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_dit_conversion_structure():
+    from friendly_stable_audio_tools_tpu.models.dit import DiffusionTransformer
+
+    m = DiffusionTransformer(io_channels=4, embed_dim=32, depth=2, num_heads=4,
+                             cond_token_dim=8, global_cond_dim=12)
+    x = jnp.zeros((1, 8, 4))
+    t = jnp.ones((1,))
+    cond = jnp.zeros((1, 3, 8))
+    g = jnp.zeros((1, 12))
+    params = m.init(jax.random.PRNGKey(0), x, t, cross_attn_cond=cond, global_embed=g)["params"]
+    flat = _flatten_dict(params)
+
+    # build a torch-style state dict with the reference's names and the right
+    # (torch-layout) shapes from the flax tree
+    sd = {}
+    for k, v in flat.items():
+        v = np.asarray(v)
+        tk = k.replace("/", ".")
+        tk = tk.replace("transformer.layer", "transformer.layers.")
+        tk = tk.replace("layers.0.", "layers.0.").replace("layers.1.", "layers.1.")
+        # flax -> torch naming
+        tk = tk.replace(".ff.linear_in.proj.kernel", ".ff.ff.0.proj.weight")
+        tk = tk.replace(".ff.linear_in.proj.bias", ".ff.ff.0.proj.bias")
+        tk = tk.replace(".ff.linear_out.kernel", ".ff.ff.2.weight")
+        tk = tk.replace(".ff.linear_out.bias", ".ff.ff.2.bias")
+        tk = tk.replace(".kernel", ".weight")
+        if tk.endswith("timestep_features.weight"):
+            sd["model.model." + tk] = v
+            continue
+        if ".weight" in tk and v.ndim == 2:
+            v = v.T
+        elif ".weight" in tk and v.ndim == 3:
+            v = v.transpose(2, 1, 0)
+        sd["model.model." + tk] = v
+
+    converted = convert_dit_state_dict(sd, "model.model.")
+    conv_flat = _flatten_dict(converted)
+    missing = set(flat) - set(conv_flat)
+    assert not missing, sorted(missing)
+    for k in flat:
+        assert conv_flat[k].shape == np.asarray(flat[k]).shape, k
+
+
+def test_t5_conversion_structure():
+    from transformers import T5Config as HFT5Config
+    from friendly_stable_audio_tools_tpu.models.t5 import T5Config, T5Encoder
+
+    cfg = T5Config(vocab_size=100, d_model=16, d_kv=4, d_ff=32, num_layers=2, num_heads=4)
+    enc = T5Encoder(cfg)
+    params = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 5), jnp.int32))["params"]
+    flat = _flatten_dict(params)
+
+    # synth HF-style state dict with the right shapes
+    sd = {
+        "shared.weight": np.zeros((100, 16), np.float32),
+        "encoder.final_layer_norm.weight": np.ones((16,), np.float32),
+    }
+    for n in range(2):
+        b = f"encoder.block.{n}"
+        for name in ("q", "k", "v"):
+            sd[f"{b}.layer.0.SelfAttention.{name}.weight"] = np.zeros((16, 16), np.float32)
+        sd[f"{b}.layer.0.SelfAttention.o.weight"] = np.zeros((16, 16), np.float32)
+        sd[f"{b}.layer.0.layer_norm.weight"] = np.ones((16,), np.float32)
+        sd[f"{b}.layer.1.DenseReluDense.wi.weight"] = np.zeros((32, 16), np.float32)
+        sd[f"{b}.layer.1.DenseReluDense.wo.weight"] = np.zeros((16, 32), np.float32)
+        sd[f"{b}.layer.1.layer_norm.weight"] = np.ones((16,), np.float32)
+    sd["encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"] = np.zeros((32, 4), np.float32)
+
+    converted = convert_t5_encoder(sd)
+    conv_flat = _flatten_dict(converted)
+    missing = set(flat) - set(conv_flat)
+    assert not missing, sorted(missing)

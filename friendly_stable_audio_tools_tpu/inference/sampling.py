@@ -381,6 +381,148 @@ def sample_dpmpp_3m_sde(denoiser, x, sigmas, rng, merge=None, eta: float = 1.0, 
     return x
 
 
+# --------------------------------------------------------------------------
+# DPM-Solver fast / adaptive (k-diffusion DPMSolver semantics)
+# --------------------------------------------------------------------------
+
+
+def _dpm_solver_steps(denoiser):
+    """DPM-Solver in t = -log(sigma) parameterization (k-diffusion)."""
+
+    def sigma(t):
+        return jnp.exp(-t)
+
+    def eps_at(x, t):
+        return (x - denoiser(x, sigma(t))) / sigma(t)
+
+    def step1(x, t, t_next, eps):
+        h = t_next - t
+        return x - sigma(t_next) * jnp.expm1(h) * eps
+
+    def step2(x, t, t_next, eps, r1=0.5):
+        h = t_next - t
+        s1 = t + r1 * h
+        u1 = x - sigma(s1) * jnp.expm1(r1 * h) * eps
+        eps_r1 = eps_at(u1, s1)
+        x2 = x - sigma(t_next) * jnp.expm1(h) * eps \
+            - sigma(t_next) / (2 * r1) * jnp.expm1(h) * (eps_r1 - eps)
+        return x2
+
+    def step3(x, t, t_next, eps, r1=1 / 3, r2=2 / 3):
+        h = t_next - t
+        s1 = t + r1 * h
+        s2 = t + r2 * h
+        u1 = x - sigma(s1) * jnp.expm1(r1 * h) * eps
+        eps_r1 = eps_at(u1, s1)
+        u2 = x - sigma(s2) * jnp.expm1(r2 * h) * eps \
+            - sigma(s2) * (r2 / r1) * (jnp.expm1(r2 * h) / (r2 * h) - 1) * (eps_r1 - eps)
+        eps_r2 = eps_at(u2, s2)
+        x3 = x - sigma(t_next) * jnp.expm1(h) * eps \
+            - sigma(t_next) / r2 * (jnp.expm1(h) / h - 1) * (eps_r2 - eps)
+        return x3
+
+    return sigma, eps_at, step1, step2, step3
+
+
+def sample_dpm_fast(denoiser, x, rng, sigma_min: float, sigma_max: float, n: int, merge=None):
+    """k-diffusion sample_dpm_fast: fixed-NFE DPM-Solver with order-3 segments
+    (+ a lower-order tail), t = -log(sigma) grid. eta=0 (reference default)."""
+    import math as _math
+
+    sigma_fn, eps_at, step1, step2, step3 = _dpm_solver_steps(denoiser)
+    t_start = -_math.log(sigma_max)
+    t_end = -_math.log(sigma_min)
+    m = _math.floor(n / 3) + 1
+    ts = np.linspace(t_start, t_end, m + 1)
+    if n % 3 == 0:
+        orders = [3] * (m - 2) + [2, 1]
+    else:
+        orders = [3] * (m - 1) + [n % 3]
+
+    x = x.astype(jnp.float32)
+    # scan over the uniform order-3 prefix, unroll the short tail
+    n3 = sum(1 for o in orders if o == 3)
+    if n3 > 0:
+        t3 = jnp.asarray(np.stack([ts[:n3], ts[1 : n3 + 1]], 1), jnp.float32)
+
+        def body(x, t_pair):
+            t, t_next = t_pair[0], t_pair[1]
+            eps = eps_at(x, t)
+            return step3(x, t, t_next, eps), None
+
+        x, _ = jax.lax.scan(body, x, t3)
+    for i in range(n3, m):
+        t, t_next = float(ts[i]), float(ts[i + 1])
+        eps = eps_at(x, jnp.asarray(t))
+        if orders[i] == 1:
+            x = step1(x, jnp.asarray(t), jnp.asarray(t_next), eps)
+        elif orders[i] == 2:
+            x = step2(x, jnp.asarray(t), jnp.asarray(t_next), eps)
+        else:
+            x = step3(x, jnp.asarray(t), jnp.asarray(t_next), eps)
+    # final denoise at sigma_min like the reference grid's endpoint
+    return x
+
+
+def sample_dpm_adaptive(denoiser, x, rng, sigma_min: float, sigma_max: float,
+                        rtol: float = 0.01, atol: float = 0.01, h_init: float = 0.05,
+                        pcoeff: float = 0.0, icoeff: float = 1.0, dcoeff: float = 0.0,
+                        accept_safety: float = 0.81, max_steps: int = 200, merge=None):
+    """k-diffusion sample_dpm_adaptive: embedded DPM-Solver-(2,3) with a PID
+    step-size controller, as a lax.while_loop."""
+    import math as _math
+
+    sigma_fn, eps_at, step1, step2, step3 = _dpm_solver_steps(denoiser)
+    t_start = -_math.log(sigma_max)
+    t_end = -_math.log(sigma_min)
+    order = 3
+
+    def norm(a):
+        return jnp.sqrt(jnp.mean(jnp.square(a)))
+
+    # PID coefficients (k-diffusion PIDStepSizeController)
+    b1 = (pcoeff + icoeff + dcoeff) / order
+    b2 = -(pcoeff + 2 * dcoeff) / order
+    b3 = dcoeff / order
+
+    def cond(carry):
+        x, x_prev, s, h, e1, e2, e3, steps = carry
+        return (s < t_end - 1e-5) & (steps < max_steps)
+
+    def body(carry):
+        x, x_prev, s, h, e1, e2, e3, steps = carry
+        t = jnp.minimum(t_end, s + h)
+        eps = eps_at(x, s)
+        x_low = step2(x, s, t, eps)
+        x_high = step3(x, s, t, eps)
+        delta = jnp.maximum(atol, rtol * jnp.maximum(jnp.abs(x_low), jnp.abs(x_prev)))
+        error = norm((x_low - x_high) / delta)
+        inv_err = 1.0 / (1e-8 + error)
+        # first iteration: seed history with the current error
+        first = steps == 0
+        h1 = jnp.where(first, inv_err, e1)
+        h2 = jnp.where(first, inv_err, e2)
+        factor = inv_err**b1 * h1**b2 * h2**b3
+        factor = 1 + jnp.arctan(factor - 1)  # the controller's soft limiter
+        accept = factor >= accept_safety
+        new_x = jnp.where(accept, x_high, x)
+        new_x_prev = jnp.where(accept, x_low, x_prev)
+        new_s = jnp.where(accept, t, s)
+        # error history rotates only on accept
+        ne1 = jnp.where(accept, inv_err, e1)
+        ne2 = jnp.where(accept, h1, e2)
+        ne3 = jnp.where(accept, h2, e3)
+        new_h = jnp.clip(h * factor, 1e-4, abs(t_end - t_start))
+        return (new_x, new_x_prev, new_s, new_h, ne1, ne2, ne3, steps + 1)
+
+    carry0 = (x.astype(jnp.float32), x.astype(jnp.float32),
+              jnp.asarray(t_start, jnp.float32), jnp.asarray(h_init, jnp.float32),
+              jnp.asarray(1.0, jnp.float32), jnp.asarray(1.0, jnp.float32),
+              jnp.asarray(1.0, jnp.float32), jnp.asarray(0, jnp.int32))
+    x, *_ = jax.lax.while_loop(cond, body, carry0)
+    return x
+
+
 _K_SAMPLERS = {
     "k-euler": sample_euler,
     "k-heun": sample_heun,
@@ -411,13 +553,7 @@ def sample_k(
 ):
     """reference inference/sampling.py:144-233. `rng` replaces torch's global
     generator; `device`/`disable_tqdm`/`callback` accepted for API parity."""
-    if sampler_type in ("k-dpm-fast", "k-dpm-adaptive"):
-        raise NotImplementedError(
-            f"{sampler_type} (host-adaptive step control) is not yet ported; "
-            "use dpmpp-3m-sde / dpmpp-2m-sde / k-heun / k-lms / k-dpm-2 / "
-            "k-dpmpp-2s-ancestral / k-euler"
-        )
-    if sampler_type not in _K_SAMPLERS:
+    if sampler_type not in _K_SAMPLERS and sampler_type not in ("k-dpm-fast", "k-dpm-adaptive"):
         raise ValueError(f"Unknown sampler type {sampler_type}")
     rng = rng if rng is not None else jax.random.PRNGKey(0)
 
@@ -438,6 +574,12 @@ def sample_k(
         merge = _make_inpaint_merge(init_data.astype(jnp.float32), mask, steps)
     else:
         x = noise
+
+    if sampler_type == "k-dpm-fast":
+        # the reference passes (sigma_min, sigma_max, n) rather than a grid
+        return sample_dpm_fast(denoiser, x, rng, sigma_min, sigma_max, steps)
+    if sampler_type == "k-dpm-adaptive":
+        return sample_dpm_adaptive(denoiser, x, rng, sigma_min, sigma_max, rtol=0.01, atol=0.01)
 
     return _K_SAMPLERS[sampler_type](denoiser, x, sigmas, rng, merge=merge)
 

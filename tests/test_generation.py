@@ -85,7 +85,8 @@ CONDITIONING = [
 
 
 @pytest.mark.parametrize("sampler", ["dpmpp-3m-sde", "dpmpp-2m-sde", "k-heun", "k-lms",
-                                     "k-dpm-2", "k-dpmpp-2s-ancestral", "k-euler"])
+                                     "k-dpm-2", "k-dpmpp-2s-ancestral", "k-euler",
+                                     "k-dpm-fast", "k-dpm-adaptive"])
 def test_generate_diffusion_cond_samplers(cond_model, sampler):
     audio = generate_diffusion_cond(
         cond_model,

@@ -170,3 +170,19 @@ def test_adp_cfg_generation():
     )
     assert audio.shape == (1, 2, 256)
     assert np.isfinite(np.asarray(audio)).all()
+
+
+def test_inpaint_training_wrapper():
+    from tests.test_generation import TINY_COND_CONFIG
+
+    cfg = dict(TINY_COND_CONFIG)
+    cfg = {**cfg, "model_type": "diffusion_cond_inpaint"}
+    cfg["training"] = {"learning_rate": 1e-4, "max_mask_segments": 4}
+    model = create_model_from_config(cfg, init_rng=jax.random.PRNGKey(0))
+    trainer = create_training_wrapper_from_config(cfg, model)
+    state = trainer.init_state()
+    reals = np.random.default_rng(0).standard_normal((2, 2, 256)).astype(np.float32) * 0.1
+    batch = trainer.prepare_batch(reals, [{"prompt": "a", "seconds_total": 3},
+                                          {"prompt": "b", "seconds_total": 4}])
+    state, metrics = jax.jit(trainer.train_step)(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))

@@ -47,11 +47,28 @@ class ResidualUnit(nn.Module):
     def __call__(self, x):
         res = x
         pad = (self.dilation * (7 - 1)) // 2
-        act = "snake" if self.use_snake else "elu"
-        x = get_activation(act, channels=self.out_channels, name="act1")(x)
-        x = WNConv1d(self.in_channels, self.out_channels, 7, padding=pad, dilation=self.dilation, name="conv1")(x)
-        x = get_activation(act, channels=self.out_channels, name="act2")(x)
-        x = WNConv1d(self.out_channels, self.out_channels, 1, name="conv2")(x)
+        conv1 = WNConv1d(self.in_channels, self.out_channels, 7, padding=pad, dilation=self.dilation, name="conv1")
+        conv2 = WNConv1d(self.out_channels, self.out_channels, 1, name="conv2")
+        if self.use_snake:
+            from ..ops.activations import SnakeBeta
+            from ..ops.pallas.conv1d import fused_residual_unit
+
+            act1 = SnakeBeta(self.out_channels, name="act1")
+            act2 = SnakeBeta(self.out_channels, name="act2")
+            if self.in_channels == self.out_channels:
+                # whole unit in one HBM pass (Pallas kernel on TPU)
+                a1, ib1 = act1.effective()
+                a2, ib2 = act2.effective()
+                return fused_residual_unit(
+                    x, conv1.weight(), conv1.bias_value(), a1, ib1,
+                    conv2.weight()[0], conv2.bias_value(), a2, ib2,
+                    dilation=self.dilation,
+                )
+            x = conv1(x, snake=act1.effective())
+            x = conv2(x, snake=act2.effective())
+        else:
+            x = conv1(nn.elu(x))
+            x = conv2(nn.elu(x))
         return x + res
 
 
@@ -134,9 +151,14 @@ class OobleckEncoder(nn.Module):
                 self.use_snake,
                 name=f"block{i}",
             )(x)
-        act = "snake" if self.use_snake else "elu"
-        x = get_activation(act, channels=c_mults[-1] * self.channels, name="act_out")(x)
-        x = WNConv1d(c_mults[-1] * self.channels, self.latent_dim, 3, padding=1, name="conv_out")(x)
+        conv_out = WNConv1d(c_mults[-1] * self.channels, self.latent_dim, 3, padding=1, name="conv_out")
+        if self.use_snake:
+            from ..ops.activations import SnakeBeta
+
+            act_out = SnakeBeta(c_mults[-1] * self.channels, name="act_out")
+            x = conv_out(x, snake=act_out.effective())
+        else:
+            x = conv_out(nn.elu(x))
         return x
 
 
@@ -168,9 +190,14 @@ class OobleckDecoder(nn.Module):
                 self.use_nearest_upsample,
                 name=f"block{j}",
             )(x)
-        act = "snake" if self.use_snake else "elu"
-        x = get_activation(act, channels=c_mults[0] * self.channels, name="act_out")(x)
-        x = WNConv1d(c_mults[0] * self.channels, self.out_channels, 7, padding=3, use_bias=False, name="conv_out")(x)
+        conv_out = WNConv1d(c_mults[0] * self.channels, self.out_channels, 7, padding=3, use_bias=False, name="conv_out")
+        if self.use_snake:
+            from ..ops.activations import SnakeBeta
+
+            act_out = SnakeBeta(c_mults[0] * self.channels, name="act_out")
+            x = conv_out(x, snake=act_out.effective())
+        else:
+            x = conv_out(nn.elu(x))
         if self.final_tanh:
             x = jnp.tanh(x)
         return x

@@ -38,14 +38,20 @@ class SnakeBeta(nn.Module):
     features: int
     alpha_logscale: bool = True
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def setup(self):
         init = nn.initializers.zeros if self.alpha_logscale else nn.initializers.ones
-        alpha = self.param("alpha", init, (self.features,), jnp.float32)
-        beta = self.param("beta", init, (self.features,), jnp.float32)
-        if self.alpha_logscale:
-            alpha = jnp.exp(alpha)
-            beta = jnp.exp(beta)
+        self.alpha = self.param("alpha", init, (self.features,), jnp.float32)
+        self.beta = self.param("beta", init, (self.features,), jnp.float32)
+
+    def effective(self):
+        """(alpha_eff, inv_beta_eff) for fused snake->conv kernels."""
+        alpha = jnp.exp(self.alpha) if self.alpha_logscale else self.alpha
+        beta = jnp.exp(self.beta) if self.alpha_logscale else self.beta
+        return alpha, 1.0 / (beta + _EPS)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        alpha = jnp.exp(self.alpha) if self.alpha_logscale else self.alpha
+        beta = jnp.exp(self.beta) if self.alpha_logscale else self.beta
         dtype = x.dtype
         return snake_beta(x, alpha.astype(dtype), beta.astype(dtype))
 

@@ -40,6 +40,35 @@ def _norm_padding(padding: Padding) -> tp.Union[str, tp.Sequence[tp.Tuple[int, i
     return [tuple(padding)]
 
 
+def _use_gemm_conv(x, w, groups: int) -> bool:
+    """XLA's 1-D conv lowering on TPU runs far below MXU peak for audio-scale
+    shapes (long T, modest C); a sum of k shifted GEMMs is ~10x faster. Use it
+    whenever the contraction is MXU-worthy and ungrouped."""
+    if groups != 1 or jax.default_backend() == "cpu":
+        return False
+    k, cin, cout = w.shape
+    return k > 1 and cin * cout >= 32 * 32
+
+
+def conv1d_gemm(x, w, stride: int = 1, padding: Padding = 0, dilation: int = 1):
+    """conv as sum of k (strided-)shifted GEMMs; exact same math as conv1d."""
+    k, cin, cout = w.shape
+    if isinstance(padding, str):
+        raise ValueError("gemm path needs explicit padding")
+    pad = (padding, padding) if isinstance(padding, int) else tuple(padding)
+    b, t, _ = x.shape
+    t_out = (t + pad[0] + pad[1] - dilation * (k - 1) - 1) // stride + 1
+    xp = jnp.pad(x, ((0, 0), (pad[0], pad[1] + stride * t_out), (0, 0)))
+    acc = None
+    for j in range(k):
+        xs = jax.lax.slice_in_dim(xp, j * dilation, j * dilation + t_out * stride, 1, axis=1)
+        if stride > 1:
+            xs = xs[:, ::stride, :]
+        term = jnp.einsum("btc,cd->btd", xs, w[j], preferred_element_type=jnp.float32)
+        acc = term if acc is None else acc + term
+    return acc.astype(x.dtype)
+
+
 def conv1d(
     x: jnp.ndarray,
     w: jnp.ndarray,
@@ -49,6 +78,8 @@ def conv1d(
     groups: int = 1,
 ) -> jnp.ndarray:
     """[B, T, Cin] x [k, Cin/groups, Cout] -> [B, T', Cout]."""
+    if _use_gemm_conv(x, w, groups) and not isinstance(padding, str):
+        return conv1d_gemm(x, w, stride, padding, dilation)
     return jax.lax.conv_general_dilated(
         x,
         w,
@@ -61,6 +92,43 @@ def conv1d(
     ).astype(x.dtype)
 
 
+def conv_transpose1d_gemm(x, w, stride: int, padding: int):
+    """Transposed conv via output-phase decomposition: each of the `stride`
+    output phases is a sum of ceil(k/s) GEMMs, then phases interleave — all
+    FLOPs land on the MXU.
+
+    y[n] = sum_{m,j : m*s + j - p == n} x[m] @ w[j]
+    phase r = n mod s: j == (n - m*s + p), j ≡ (r + p) (mod s).
+    """
+    k, cin, cout = w.shape
+    b, t, _ = x.shape
+    s = stride
+    t_out = (t - 1) * s - 2 * padding + k
+    n_phases = s
+    # max taps per phase
+    phase_outs = []
+    t_phase = t_out // s + 2  # generous per-phase length, trimmed at the end
+    for r in range(n_phases):
+        acc = jnp.zeros((b, t_phase, cout), jnp.float32)
+        # output index n = q*s + r (q in [0, t_phase)); n + p = m*s + j
+        for j in range(k):
+            if (r + padding - j) % s != 0:
+                continue
+            # m = (n + p - j)/s = q + (r + p - j)/s
+            off = (r + padding - j) // s
+            # x[m] valid when 0 <= q + off < t
+            lo = max(0, -off)
+            hi = min(t_phase, t - off)
+            if lo >= hi:
+                continue
+            xs = jax.lax.slice_in_dim(x, lo + off, hi + off, 1, axis=1)
+            term = jnp.einsum("btc,cd->btd", xs, w[j], preferred_element_type=jnp.float32)
+            acc = acc.at[:, lo:hi, :].add(term)
+        phase_outs.append(acc)
+    y = jnp.stack(phase_outs, axis=2).reshape(b, t_phase * s, cout)
+    return y[:, :t_out, :].astype(x.dtype)
+
+
 def conv_transpose1d(
     x: jnp.ndarray,
     w: jnp.ndarray,
@@ -69,9 +137,11 @@ def conv_transpose1d(
 ) -> jnp.ndarray:
     """Torch-semantics transposed conv: [B,T,Cin] x [k,Cin,Cout] -> [B,(T-1)s-2p+k,Cout].
 
-    Implemented as an input-dilated convolution with a spatially flipped
-    kernel — the exact adjoint of `conv1d` — which XLA lowers to an MXU conv.
+    Default path decomposes into per-output-phase GEMMs (MXU-bound); the
+    input-dilated XLA conv is the fallback (exact adjoint of conv1d).
     """
+    if _use_gemm_conv(x, w, 1) and stride > 1:
+        return conv_transpose1d_gemm(x, w, stride, padding)
     k = w.shape[0]
     w_flip = jnp.flip(w, axis=0)
     return jax.lax.conv_general_dilated(
@@ -124,7 +194,11 @@ class Conv1d(nn.Module):
 
 
 class WNConv1d(nn.Module):
-    """Weight-normalized Conv1d: w = g * v / ||v||_(k,in) per output channel."""
+    """Weight-normalized Conv1d: w = g * v / ||v||_(k,in) per output channel.
+
+    `__call__(x, snake=(alpha, inv_beta))` fuses a preceding snake activation
+    into the conv via the Pallas kernel (ops/pallas/conv1d.py) on TPU — the
+    VAE hot path (SURVEY.md §7 "snake + weight-norm conv fusion")."""
 
     in_channels: int
     out_channels: int
@@ -135,22 +209,48 @@ class WNConv1d(nn.Module):
     groups: int = 1
     use_bias: bool = True
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def setup(self):
         fan_in = (self.in_channels // self.groups) * self.kernel_size
-        v = self.param(
+        self.v = self.param(
             "v",
             _fan_in_uniform(fan_in),
             (self.kernel_size, self.in_channels // self.groups, self.out_channels),
             jnp.float32,
         )
         # torch weight_norm initializes g = ||v|| so the initial weight equals v.
-        g = self.param("g", lambda key, *_: _vnorm_oc(v), (self.out_channels,), jnp.float32)
-        w = v * (g / (_vnorm_oc(v) + 1e-12))
+        self.g = self.param("g", lambda key, *_: _vnorm_oc(self.v), (self.out_channels,), jnp.float32)
+        if self.use_bias:
+            self.bias = self.param("bias", _fan_in_uniform(fan_in), (self.out_channels,), jnp.float32)
+
+    def weight(self) -> jnp.ndarray:
+        return self.v * (self.g / (_vnorm_oc(self.v) + 1e-12))
+
+    def bias_value(self) -> tp.Optional[jnp.ndarray]:
+        return self.bias if self.use_bias else None
+
+    def __call__(self, x: jnp.ndarray, snake: tp.Optional[tp.Tuple] = None) -> jnp.ndarray:
+        w = self.weight()
+        fusable = (
+            self.stride == 1
+            and self.groups == 1
+            and isinstance(self.padding, int)
+            and self.padding == (self.dilation * (self.kernel_size - 1)) // 2
+        )
+        if fusable:
+            from .pallas.conv1d import snake_conv1d
+
+            alpha, inv_beta = snake if snake is not None else (None, None)
+            return snake_conv1d(
+                x, w, self.bias if self.use_bias else None, alpha, inv_beta,
+                dilation=self.dilation, padding=self.padding,
+            )
+        if snake is not None:
+            alpha, inv_beta = snake
+            x32 = x.astype(jnp.float32)
+            x = (x32 + 0.5 * inv_beta * (1.0 - jnp.cos(2.0 * alpha * x32))).astype(x.dtype)
         y = conv1d(x, w.astype(x.dtype), self.stride, self.padding, self.dilation, self.groups)
         if self.use_bias:
-            b = self.param("bias", _fan_in_uniform(fan_in), (self.out_channels,), jnp.float32)
-            y = y + b.astype(y.dtype)
+            y = y + self.bias.astype(y.dtype)
         return y
 
 

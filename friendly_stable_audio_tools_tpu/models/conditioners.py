@@ -366,21 +366,89 @@ class TokenizerLUTConditioner(Conditioner):
 
 
 class CLAPTextConditioner(Conditioner):
-    """CLAP text embedding conditioner (reference conditioners.py:105-192).
+    """CLAP text embedding conditioner (reference conditioners.py:105-192):
+    a native RoBERTa text branch + laion-clap projection (models/clap.py).
 
-    Requires a locally converted CLAP checkpoint (laion-clap weights cannot be
-    downloaded in this environment). `use_text_features` returns per-token
-    features from the penultimate layer like the reference."""
+    `clap_ckpt_path` may be a laion-clap torch checkpoint (converted on the
+    fly) or empty for from-scratch weights. `use_text_features` returns
+    per-token hidden states from `feature_layer_ix` (reference :155-171);
+    otherwise the pooled 512-d joint embedding."""
 
-    def __init__(self, output_dim: int, clap_ckpt_path: str, use_text_features: bool = False,
+    def __init__(self, output_dim: int, clap_ckpt_path: str = "", use_text_features: bool = False,
                  feature_layer_ix: int = -1, audio_model_type: str = "HTSAT-base",
                  enable_fusion: bool = True, project_out: bool = False, finetune: bool = False):
-        super().__init__(768, output_dim, project_out=project_out)
-        raise NotImplementedError(
-            "CLAPTextConditioner requires a converted laion-clap checkpoint; "
-            "conversion tooling lands in utils/torch_import.py (no network access "
-            "to fetch CLAP weights in this environment)."
+        from .clap import CLAPTextBranch
+
+        dim = 768 if use_text_features else 512
+        super().__init__(dim, output_dim, project_out=project_out)
+        self.use_text_features = use_text_features
+        self.feature_layer_ix = feature_layer_ix
+        self.finetune = finetune
+        self.trainable = finetune
+        self.clap_ckpt_path = clap_ckpt_path
+        self.max_length = 77  # laion-clap RoBERTa tokenizer budget
+        self.tokenizer = get_hf_tokenizer("roberta-base", 50265)
+
+        branch = CLAPTextBranch()
+        use_feats = use_text_features
+        f_ix = feature_layer_ix
+        has_proj = self.has_proj_out
+        out_dim = output_dim
+        finetune_ = finetune
+
+        class M(nn.Module):
+            @nn.compact
+            def __call__(self, input_ids, attention_mask):
+                clap = CLAPTextBranch(name="clap")
+                if use_feats:
+                    h = clap.text_features(input_ids, attention_mask, layer_ix=f_ix)
+                    mask = attention_mask.astype(bool)
+                else:
+                    h = clap(input_ids, attention_mask)[:, None, :]
+                    mask = jnp.ones((h.shape[0], 1), bool)
+                if not finetune_:
+                    h = jax.lax.stop_gradient(h)
+                h = h.astype(jnp.float32)
+                if has_proj:
+                    h = nn.Dense(out_dim, param_dtype=jnp.float32, name="proj_out")(h)
+                if use_feats:
+                    h = h * attention_mask[..., None].astype(h.dtype)
+                return h, mask
+
+        self.module = M()
+
+    def init(self, rng: jax.Array):
+        import os
+
+        params = super().init(rng)
+        if self.clap_ckpt_path and os.path.exists(self.clap_ckpt_path):
+            from .clap import convert_clap_text_branch
+            from .utils import load_ckpt_state_dict
+            from ..utils.common import copy_state_dict
+
+            sd = load_ckpt_state_dict(self.clap_ckpt_path)
+            if isinstance(sd, dict) and "state_dict" in sd:
+                sd = sd["state_dict"]
+            converted = {"clap": convert_clap_text_branch(sd)}
+            self.params = copy_state_dict(self.params, converted)
+        elif self.clap_ckpt_path:
+            logging.warning(
+                f"CLAP checkpoint {self.clap_ckpt_path} not found; using random init"
+            )
+        return self.params
+
+    def example_input(self):
+        return ["example"]
+
+    def preprocess(self, texts):
+        enc = self.tokenizer(
+            texts, truncation=True, max_length=self.max_length,
+            padding="max_length", return_tensors="np",
         )
+        return {
+            "input_ids": np.asarray(enc["input_ids"], np.int32),
+            "attention_mask": np.asarray(enc["attention_mask"], np.int32),
+        }
 
 
 class CLAPAudioConditioner(Conditioner):

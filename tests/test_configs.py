@@ -13,8 +13,8 @@ CONFIG_DIR = Path(__file__).resolve().parent.parent / "friendly_stable_audio_too
 
 ALL_CONFIGS = sorted(CONFIG_DIR.rglob("*.json"))
 
-# configs whose conditioners need unavailable pretrained checkpoints (CLAP)
-NEEDS_CLAP = {"stable_audio_1_0.json", "stable_audio_2_0.json"}
+# configs whose conditioners need unavailable pretrained checkpoints
+NEEDS_CLAP = set()
 
 
 @pytest.mark.parametrize("path", ALL_CONFIGS, ids=lambda p: p.name)

@@ -144,12 +144,12 @@ class DiffusionTransformer(nn.Module):
             b = x.shape[0]
             if prepend_inputs is None:
                 prepend_inputs = global_embed[:, None, :]
-                prepend_mask = jnp.ones((b, 1), bool)
+                # no mask fabricated: an all-True mask would force the masked
+                # (O(T^2)-materializing) attention path for nothing
             else:
                 prepend_inputs = jnp.concatenate([prepend_inputs, global_embed[:, None, :]], axis=1)
-                if prepend_mask is None:
-                    prepend_mask = jnp.ones((b, prepend_inputs.shape[1] - 1), bool)
-                prepend_mask = jnp.concatenate([prepend_mask, jnp.ones((b, 1), bool)], axis=1)
+                if prepend_mask is not None:
+                    prepend_mask = jnp.concatenate([prepend_mask, jnp.ones((b, 1), bool)], axis=1)
             prepend_length = prepend_inputs.shape[1]
 
         x = self.preprocess_conv(x) + x
@@ -206,6 +206,7 @@ class DiffusionTransformer(nn.Module):
         mask=None,
         return_info: bool = False,
         train: bool = False,
+        batch_cfg: bool = True,
     ):
         """`cfg_scale`, `cfg_dropout_prob`, `scale_phi` are static (trace-time)
         floats: batch-doubling changes shapes, so CFG participation must be
@@ -236,6 +237,35 @@ class DiffusionTransformer(nn.Module):
                 prepend_cond=prepend_cond, prepend_cond_mask=prepend_cond_mask,
                 return_info=return_info,
             )
+
+        if not batch_cfg:
+            # two-pass CFG (halves the activation peak; used for long-form
+            # sequences where batch-doubling exceeds HBM)
+            cond_output = self._forward(
+                x, t, mask=mask, cross_attn_cond=cross_attn_cond,
+                cross_attn_cond_mask=cross_attn_cond_mask,
+                input_concat_cond=input_concat_cond, global_embed=global_embed,
+                prepend_cond=prepend_cond, prepend_cond_mask=prepend_cond_mask,
+            )
+            null_cross = None
+            if cross_attn_cond is not None:
+                null_cross = jnp.zeros_like(cross_attn_cond)
+                if negative_cross_attn_cond is not None:
+                    null_cross = negative_cross_attn_cond
+            null_prepend = jnp.zeros_like(prepend_cond) if prepend_cond is not None else None
+            uncond_output = self._forward(
+                x, t, mask=mask, cross_attn_cond=null_cross,
+                cross_attn_cond_mask=cross_attn_cond_mask,
+                input_concat_cond=input_concat_cond, global_embed=global_embed,
+                prepend_cond=null_prepend, prepend_cond_mask=prepend_cond_mask,
+            )
+            cfg_output = uncond_output + (cond_output - uncond_output) * cfg_scale
+            if scale_phi != 0.0:
+                cond_out_std = cond_output.astype(jnp.float32).std(axis=-1, keepdims=True)
+                out_cfg_std = cfg_output.astype(jnp.float32).std(axis=-1, keepdims=True)
+                rescaled = cfg_output * (cond_out_std / out_cfg_std)
+                return (scale_phi * rescaled + (1.0 - scale_phi) * cfg_output).astype(cfg_output.dtype)
+            return cfg_output
 
         # CFG batch-doubling (reference dit.py:270-339)
         def dup(a):

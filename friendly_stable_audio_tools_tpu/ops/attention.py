@@ -45,10 +45,13 @@ def scaled_dot_product_attention(
     k, v = _repeat_kv(k, v, num_heads)
 
     if implementation == "auto":
+        import os
+
         # Pallas flash kernel pays off for long self-attention on real TPUs;
         # fall back to the XLA path on CPU (tests) and short/cross attention.
         use_pallas = (
-            jax.default_backend() not in ("cpu",)
+            os.environ.get("FSAT_DISABLE_PALLAS_ATTN") != "1"
+            and jax.default_backend() not in ("cpu",)
             and q.shape[-2] >= 1024
             and q.shape[-2] == k.shape[-2]
             and mask is None

@@ -40,6 +40,7 @@ class Trainer:
         mesh=None,
         log_every: int = 1,
         progress_every: int = 50,
+        gradient_clip_val: float = 0.0,
     ):
         self.wrapper = training_wrapper
         self.dataloader = dataloader
@@ -54,6 +55,16 @@ class Trainer:
         self.metrics_logger = MetricsLogger()
         self.log_every = log_every
         self.progress_every = progress_every
+
+        if gradient_clip_val and gradient_clip_val > 0:
+            # global-norm clipping wraps the wrapper's optimizers
+            # (PTL gradient_clip_val parity, reference train.py:128)
+            import optax
+
+            clip = optax.clip_by_global_norm(gradient_clip_val)
+            for attr in ("tx", "gen_tx", "disc_tx"):
+                if hasattr(training_wrapper, attr):
+                    setattr(training_wrapper, attr, optax.chain(clip, getattr(training_wrapper, attr)))
 
         ckpt_dir = os.path.join(save_dir, "checkpoints")
         os.makedirs(ckpt_dir, exist_ok=True)

@@ -135,3 +135,15 @@ def test_continuous_transformer_kv_cache_decode():
     for i in range(3, 5):
         out_i, kvs = m.apply(params, x[:, i : i + 1], kv_caches=kvs, return_kv=True, rotary_offset=i)
     np.testing.assert_allclose(np.asarray(out_i[0, -1]), np.asarray(full[0, 4]), atol=1e-4, rtol=1e-3)
+
+
+def test_dit_two_pass_cfg_matches_batched():
+    """batch_cfg=False (two-pass) must equal batch-doubled CFG."""
+    m, params = make_dit()
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 16, 4)), jnp.float32)
+    t = jnp.full((2,), 0.3)
+    cond = jnp.asarray(rng.standard_normal((2, 5, 8)), jnp.float32)
+    y_batched = m.apply(params, x, t, cross_attn_cond=cond, cfg_scale=3.0)
+    y_two_pass = m.apply(params, x, t, cross_attn_cond=cond, cfg_scale=3.0, batch_cfg=False)
+    np.testing.assert_allclose(np.asarray(y_batched), np.asarray(y_two_pass), atol=1e-5, rtol=1e-5)

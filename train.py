@@ -111,6 +111,7 @@ def main():
         accum_batches=args.accum_batches,
         mesh=mesh,
         log_every=model_config["training"].get("logging", {}).get("log_every", 1),
+        gradient_clip_val=args.gradient_clip_val,
     )
 
     trainer.fit(ckpt_path=args.ckpt_path or None, seed=seed)

@@ -18,6 +18,7 @@ conditioners.py:147-150 — same intent, cleaner mechanism).
 
 from __future__ import annotations
 
+import dataclasses
 import hashlib
 import logging
 import typing as tp
@@ -452,15 +453,76 @@ class CLAPTextConditioner(Conditioner):
 
 
 class CLAPAudioConditioner(Conditioner):
-    """CLAP audio embedding conditioner (reference conditioners.py:195-258)."""
+    """CLAP audio embedding conditioner (reference conditioners.py:195-258):
+    mono-mix -> log-mel features (fusion or rand_trunc prep, models/htsat.py
+    ClapAudioFeatureProcessor) -> native HTSAT Swin encoder -> projected,
+    L2-normalized 512-d embedding, shaped [B, 1, output_dim] + ones mask.
 
-    def __init__(self, output_dim: int, clap_ckpt_path: str, audio_model_type: str = "HTSAT-base",
-                 enable_fusion: bool = True, project_out: bool = False):
+    The audio branch is frozen (stop_gradient), matching the reference's
+    non-finetune path. `clap_ckpt_path` accepts laion-clap or HF transformers
+    CLAP checkpoints; empty/missing falls back to random init with a warning.
+    """
+
+    def __init__(self, output_dim: int, clap_ckpt_path: str = "", audio_model_type: str = "HTSAT-base",
+                 enable_fusion: bool = True, project_out: bool = False,
+                 htsat_config=None):
+        from .htsat import HTSAT_CONFIGS, CLAPAudioBranch, ClapAudioFeatureProcessor
+
         super().__init__(512, output_dim, project_out=project_out)
-        raise NotImplementedError(
-            "CLAPAudioConditioner requires a converted laion-clap checkpoint; "
-            "see CLAPTextConditioner."
+        self.clap_ckpt_path = clap_ckpt_path
+        self.trainable = False
+        self.htsat_cfg = dataclasses.replace(
+            htsat_config or HTSAT_CONFIGS[audio_model_type], enable_fusion=enable_fusion
         )
+        self.processor = ClapAudioFeatureProcessor(self.htsat_cfg)
+
+        cfg = self.htsat_cfg
+        has_proj = self.has_proj_out
+        out_dim = output_dim
+
+        class M(nn.Module):
+            @nn.compact
+            def __call__(self, input_features, is_longer):
+                h = CLAPAudioBranch(cfg, name="clap_audio")(input_features, is_longer)
+                h = jax.lax.stop_gradient(h)[:, None, :].astype(jnp.float32)
+                if has_proj:
+                    h = nn.Dense(out_dim, param_dtype=jnp.float32, name="proj_out")(h)
+                return h, jnp.ones((h.shape[0], 1), bool)
+
+        self.module = M()
+
+    def init(self, rng: jax.Array):
+        import os
+
+        params = super().init(rng)
+        if self.clap_ckpt_path and os.path.exists(self.clap_ckpt_path):
+            from .htsat import convert_clap_audio_branch
+            from .utils import load_ckpt_state_dict
+            from ..utils.common import copy_state_dict
+
+            sd = load_ckpt_state_dict(self.clap_ckpt_path)
+            if isinstance(sd, dict) and "state_dict" in sd:
+                sd = sd["state_dict"]
+            converted = {"clap_audio": convert_clap_audio_branch(sd, self.htsat_cfg)}
+            self.params = copy_state_dict(self.params, converted)
+        elif self.clap_ckpt_path:
+            logging.warning(
+                f"CLAP checkpoint {self.clap_ckpt_path} not found; using random init"
+            )
+        return self.params
+
+    def example_input(self):
+        return [np.zeros((self.htsat_cfg.sample_rate // 10,), np.float32)]
+
+    def preprocess(self, audios):
+        waveforms = []
+        for a in audios:
+            arr = np.asarray(a, np.float32)
+            if arr.ndim == 2:  # [C, T] -> mono mix (reference :250)
+                arr = arr.mean(axis=0)
+            waveforms.append(arr)
+        feats, longer = self.processor(waveforms)
+        return {"input_features": feats, "is_longer": longer}
 
 
 class PretransformConditioner(Conditioner):

@@ -109,19 +109,29 @@ class DecoderBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        act = "snake" if self.use_snake else "elu"
-        x = get_activation(act, channels=self.in_channels, name="act")(x)
-        if self.use_nearest_upsample:
-            x = jnp.repeat(x, self.stride, axis=1)
-            x = WNConv1d(
-                self.in_channels, self.out_channels, 2 * self.stride,
-                stride=1, padding="same", use_bias=False, name="up",
-            )(x)
-        else:
+        if self.use_snake and not self.use_nearest_upsample:
+            # snake fused into the polyphase upsample kernel (one HBM pass)
+            from ..ops.activations import SnakeBeta
+
+            act = SnakeBeta(self.in_channels, name="act")
             x = WNConvTranspose1d(
                 self.in_channels, self.out_channels, 2 * self.stride,
                 stride=self.stride, padding=math.ceil(self.stride / 2), name="up",
-            )(x)
+            )(x, snake=act.effective())
+        else:
+            act = "snake" if self.use_snake else "elu"
+            x = get_activation(act, channels=self.in_channels, name="act")(x)
+            if self.use_nearest_upsample:
+                x = jnp.repeat(x, self.stride, axis=1)
+                x = WNConv1d(
+                    self.in_channels, self.out_channels, 2 * self.stride,
+                    stride=1, padding="same", use_bias=False, name="up",
+                )(x)
+            else:
+                x = WNConvTranspose1d(
+                    self.in_channels, self.out_channels, 2 * self.stride,
+                    stride=self.stride, padding=math.ceil(self.stride / 2), name="up",
+                )(x)
         for i, d in enumerate((1, 3, 9)):
             x = ResidualUnit(self.out_channels, self.out_channels, d, self.use_snake, name=f"res{i}")(x)
         return x

@@ -292,7 +292,11 @@ class ConvTranspose1d(nn.Module):
 
 
 class WNConvTranspose1d(nn.Module):
-    """Weight-normalized transposed conv; norm per input channel (torch dim=0)."""
+    """Weight-normalized transposed conv; norm per input channel (torch dim=0).
+
+    `__call__(x, snake=(alpha, inv_beta))` fuses a preceding snake activation
+    into the upsample via the polyphase Pallas kernel on TPU (the decoder's
+    per-stage hot op; ops/pallas/conv1d.py snake_conv_transpose1d)."""
 
     in_channels: int
     out_channels: int
@@ -301,19 +305,41 @@ class WNConvTranspose1d(nn.Module):
     padding: int = 0
     use_bias: bool = True
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def setup(self):
         fan_in = self.out_channels * self.kernel_size
-        v = self.param(
+        self.v = self.param(
             "v",
             _fan_in_uniform(fan_in),
             (self.kernel_size, self.in_channels, self.out_channels),
             jnp.float32,
         )
-        g = self.param("g", lambda key, *_: _vnorm_ic(v), (self.in_channels,), jnp.float32)
-        w = v * (g / (_vnorm_ic(v) + 1e-12))[None, :, None]
+        self.g = self.param("g", lambda key, *_: _vnorm_ic(self.v), (self.in_channels,), jnp.float32)
+        if self.use_bias:
+            self.bias = self.param("bias", _fan_in_uniform(fan_in), (self.out_channels,), jnp.float32)
+
+    def weight(self) -> jnp.ndarray:
+        return self.v * (self.g / (_vnorm_ic(self.v) + 1e-12))[None, :, None]
+
+    def __call__(self, x: jnp.ndarray, snake: tp.Optional[tp.Tuple] = None) -> jnp.ndarray:
+        w = self.weight()
+        fusable = (
+            self.stride % 2 == 0
+            and self.kernel_size == 2 * self.stride
+            and self.padding == self.stride // 2
+        )
+        if fusable:
+            from .pallas.conv1d import snake_conv_transpose1d
+
+            alpha, inv_beta = snake if snake is not None else (None, None)
+            return snake_conv_transpose1d(
+                x, w, self.bias if self.use_bias else None, alpha, inv_beta,
+                stride=self.stride, padding=self.padding,
+            )
+        if snake is not None:
+            alpha, inv_beta = snake
+            x32 = x.astype(jnp.float32)
+            x = (x32 + 0.5 * inv_beta * (1.0 - jnp.cos(2.0 * alpha * x32))).astype(x.dtype)
         y = conv_transpose1d(x, w.astype(x.dtype), self.stride, self.padding)
         if self.use_bias:
-            b = self.param("bias", _fan_in_uniform(fan_in), (self.out_channels,), jnp.float32)
-            y = y + b.astype(y.dtype)
+            y = y + self.bias.astype(y.dtype)
         return y

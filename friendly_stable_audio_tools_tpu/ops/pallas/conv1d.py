@@ -27,7 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 def _kernel(x_cur, x_nxt, w_ref, b_ref, ab_ref, o_ref, xcat_ref, *, k: int, dilation: int,
             block_t: int, use_snake: bool):
     halo = (k - 1) * dilation
-    x = jnp.concatenate([x_cur[:], x_nxt[: halo if halo else 1]], axis=0) if halo else x_cur[:]
+    x = jnp.concatenate([x_cur[:], x_nxt[:halo]], axis=0) if halo else x_cur[:]
     x = x.astype(jnp.float32)
     if use_snake:
         alpha = ab_ref[0, :]
@@ -72,12 +72,16 @@ def _forward(x, w, bias, alpha, inv_beta, dilation: int, padding: int, block_t: 
     kernel = functools.partial(
         _kernel, k=k, dilation=dilation, block_t=block_t, use_snake=use_snake
     )
+    # halo ref: a 64-row-aligned window at the tile boundary, NOT the whole
+    # next tile — halves input DMA traffic (the halo is <= 64 rows)
+    halo_rows = _halo_rows(halo)
     out = pl.pallas_call(
         kernel,
         grid=(b, n_t),
         in_specs=[
             pl.BlockSpec((None, block_t, cin), lambda bb, i: (bb, i, 0)),
-            pl.BlockSpec((None, block_t, cin), lambda bb, i: (bb, i + 1, 0)),
+            pl.BlockSpec((None, halo_rows, cin),
+                         lambda bb, i, r=block_t // _halo_rows(halo): (bb, (i + 1) * r, 0)),
             pl.BlockSpec((k, cin, cout), lambda bb, i: (0, 0, 0)),
             pl.BlockSpec((1, cout), lambda bb, i: (0, 0)),
             pl.BlockSpec((2, cin), lambda bb, i: (0, 0)),
@@ -87,6 +91,11 @@ def _forward(x, w, bias, alpha, inv_beta, dilation: int, padding: int, block_t: 
         scratch_shapes=[pltpu.VMEM((block_t, k * cin), jnp.float32)],
     )(xp, xp, w, bias.reshape(1, -1), ab)
     return out[:, :t, :]
+
+
+def _halo_rows(halo: int) -> int:
+    """Smallest 64-multiple covering the halo (sublane-aligned block)."""
+    return max(64, ((halo + 63) // 64) * 64)
 
 
 def _xla_reference(x, w, bias, alpha, inv_beta, dilation, padding):
@@ -161,6 +170,166 @@ def snake_conv1d(
 
 
 # ---------------------------------------------------------------------------
+# fused snake -> transposed conv (polyphase): the decoder upsample hot path
+# ---------------------------------------------------------------------------
+#
+# torch ConvTranspose1d(k=2s, stride=s, padding=s/2) decomposes into s output
+# phases, each a 2-tap stride-1 conv over x:
+#   y[q*s + r] = x[q0]   @ w[r+p]        with q0 = q, q1 = q-1  for r <  s/2
+#              + x[q1]   @ w[r+p +- s]        q0 = q, q1 = q+1  for r >= s/2
+# Grouping phases by their (q0, q1) pattern yields exactly TWO MXU dots per
+# input tile: [bt, 2*Cin] x [2*Cin, (s/2)*Cout] — one HBM read of x (with the
+# preceding snake fused in-register), one interleaved write of y. XLA's
+# lowering of the same math (conv_transpose1d_gemm) round-trips every phase
+# through HBM and measures ~4x slower at decoder shapes.
+
+
+def _upk_kernel(x_cur, x_halo, wa_ref, wb_ref, b_ref, ab_ref, o_ref, *,
+                stride: int, block_t: int, cout: int, use_snake: bool):
+    xt = jnp.concatenate([x_cur[:], x_halo[:2]], axis=0).astype(jnp.float32)
+    # xt rows map to x[q-1 .. q+block_t]: x_cur starts at q-1 (input shifted
+    # left by one), so row i corresponds to x[tile_start - 1 + i]
+    if use_snake:
+        alpha = ab_ref[0, :]
+        inv_beta = ab_ref[1, :]
+        xt = xt + 0.5 * inv_beta * (1.0 - jnp.cos(2.0 * alpha * xt))
+    xt = xt.astype(wa_ref.dtype)
+    x_m1 = xt[0:block_t]          # x[q-1]
+    x_0 = xt[1 : block_t + 1]     # x[q]
+    x_p1 = xt[2 : block_t + 2]    # x[q+1]
+    half = stride // 2
+    cin = x_cur.shape[1]
+
+    def dd(x, w):
+        return jax.lax.dot_general(x, w, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    # group A: phases r < s/2 use (x[q], x[q-1]); group B: (x[q], x[q+1]).
+    # Two K=Cin dots per group (Mosaic cannot lane-concat offset slices).
+    a = dd(x_0, wa_ref[:cin]) + dd(x_m1, wa_ref[cin:])
+    bq = dd(x_0, wb_ref[:cin]) + dd(x_p1, wb_ref[cin:])
+    y = jnp.concatenate([a.reshape(block_t, half, cout), bq.reshape(block_t, half, cout)],
+                        axis=1)
+    y = y + b_ref[0, :]
+    o_ref[:] = y.reshape(block_t * stride, cout).astype(o_ref.dtype)
+
+
+def _upk_forward(x, wa, wb, bias, ab, stride, block_t, use_snake):
+    b, t, cin = x.shape
+    cout = wa.shape[1] // (stride // 2)
+    pad_t = (block_t - t % block_t) % block_t
+    n_t = (t + pad_t) // block_t
+    # shift left by 1 (x[q-1] halo) and pad right so the +1 halo ref tiles
+    xp = jnp.pad(x, ((0, 0), (1, (n_t + 1) * block_t - t - 1), (0, 0)))
+
+    halo_rows = 64  # smallest sublane-aligned halo block; only 2 rows used
+    kernel = functools.partial(_upk_kernel, stride=stride, block_t=block_t,
+                               cout=cout, use_snake=use_snake)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, n_t),
+        in_specs=[
+            pl.BlockSpec((None, block_t, cin), lambda bb, i: (bb, i, 0)),
+            pl.BlockSpec((None, halo_rows, cin),
+                         lambda bb, i, bt=block_t: (bb, (i + 1) * (bt // halo_rows), 0)),
+            pl.BlockSpec(wa.shape, lambda bb, i: (0, 0)),
+            pl.BlockSpec(wb.shape, lambda bb, i: (0, 0)),
+            pl.BlockSpec((1, cout), lambda bb, i: (0, 0)),
+            pl.BlockSpec((2, cin), lambda bb, i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, block_t * stride, cout), lambda bb, i: (bb, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n_t * block_t * stride, cout), x.dtype),
+    )(xp, xp, wa, wb, bias.reshape(1, -1), ab)
+    return out[:, : t * stride, :]
+
+
+def _upk_weights(w: jnp.ndarray, stride: int):
+    """[k=2s, Cin, Cout] -> (W_A, W_B) [2*Cin, (s/2)*Cout] phase-grouped."""
+    k, cin, cout = w.shape
+    s = stride
+    p = s // 2
+    wa_cols, wb_cols = [], []
+    for r in range(0, s // 2):
+        wa_cols.append(jnp.concatenate([w[r + p], w[r + p + s]], axis=0))  # (x0, xm1)
+    for r in range(s // 2, s):
+        wb_cols.append(jnp.concatenate([w[r + p], w[r + p - s]], axis=0))  # (x0, xp1)
+    return jnp.concatenate(wa_cols, axis=1), jnp.concatenate(wb_cols, axis=1)
+
+
+def _upk_xla(x, w, bias, alpha, inv_beta, stride):
+    from ..convs import conv_transpose1d
+
+    if alpha is not None:
+        x32 = x.astype(jnp.float32)
+        x = (x32 + 0.5 * inv_beta * (1.0 - jnp.cos(2.0 * alpha * x32))).astype(x.dtype)
+    y = conv_transpose1d(x, w.astype(x.dtype), stride, stride // 2)
+    return (y.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _upk(x, w, bias, alpha, inv_beta, stride, block_t):
+    ab = (jnp.stack([alpha, inv_beta]).astype(jnp.float32) if alpha is not None
+          else jnp.zeros((2, x.shape[-1]), jnp.float32))
+    wa, wb = _upk_weights(w.astype(x.dtype), stride)
+    return _upk_forward(x, wa, wb, bias, ab, stride, block_t, alpha is not None)
+
+
+def _upk_fwd(x, w, bias, alpha, inv_beta, stride, block_t):
+    return _upk(x, w, bias, alpha, inv_beta, stride, block_t), (x, w, bias, alpha, inv_beta)
+
+
+def _upk_bwd(stride, block_t, res, g):
+    x, w, bias, alpha, inv_beta = res
+    if alpha is None:
+        _, vjp = jax.vjp(lambda x_, w_, b_: _upk_xla(x_, w_, b_, None, None, stride), x, w, bias)
+        return vjp(g) + (None, None)
+    _, vjp = jax.vjp(lambda *a: _upk_xla(*a, stride), x, w, bias, alpha, inv_beta)
+    return vjp(g)
+
+
+_upk.defvjp(_upk_fwd, _upk_bwd)
+
+
+def snake_conv_transpose1d(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    bias: tp.Optional[jnp.ndarray],
+    alpha: tp.Optional[jnp.ndarray] = None,
+    inv_beta: tp.Optional[jnp.ndarray] = None,
+    stride: int = 2,
+    padding: tp.Optional[int] = None,
+    block_t: int = 1024,
+) -> jnp.ndarray:
+    """Fused snake(x) -> ConvTranspose1d(k=2s, stride=s, padding=s/2) — the
+    Oobleck decoder upsample. Requires even stride, k == 2*stride and torch
+    padding s/2 (all shipped configs); other shapes fall back to XLA."""
+    k, cin, cout = w.shape
+    if padding is None:
+        padding = stride // 2
+    if bias is None:
+        bias = jnp.zeros((cout,), jnp.float32)
+
+    # VMEM working set: x tile fp32, 2 stacked operands, W_A/W_B, out tile
+    w_bytes = 2 * 2 * cin * (stride // 2) * cout * 4
+    bt = block_t
+    while bt > 128 and 4 * bt * (7 * cin + 2 * stride * cout) > 10 * 2**20 - w_bytes:
+        bt //= 2
+    use_pallas = (
+        jax.default_backend() != "cpu"
+        and stride % 2 == 0
+        and k == 2 * stride
+        and padding == stride // 2
+        and x.shape[1] >= bt
+        and bt >= 128
+        and bt % 64 == 0
+        and w_bytes < 6 * 2**20
+    )
+    if not use_pallas:
+        return _upk_xla(x, w, bias, alpha, inv_beta, stride)
+    return _upk(x, w, bias, alpha, inv_beta, stride, bt)
+
+
+# ---------------------------------------------------------------------------
 # whole-residual-unit fusion: snake -> conv(k, d) -> snake -> conv(1) -> + x
 # ---------------------------------------------------------------------------
 
@@ -197,12 +366,14 @@ def _ru_forward(x, w1, b1, ab1, w2, b2, ab2, dilation, block_t):
     xp = jnp.pad(x, ((0, 0), (padding, right), (0, 0)))
 
     kernel = functools.partial(_ru_kernel, k=k, dilation=dilation, block_t=block_t)
+    halo_rows = _halo_rows(halo)
     out = pl.pallas_call(
         kernel,
         grid=(b, n_t),
         in_specs=[
             pl.BlockSpec((None, block_t, cin), lambda bb, i: (bb, i, 0)),
-            pl.BlockSpec((None, block_t, cin), lambda bb, i: (bb, i + 1, 0)),
+            pl.BlockSpec((None, halo_rows, cin),
+                         lambda bb, i, r=block_t // halo_rows: (bb, (i + 1) * r, 0)),
             pl.BlockSpec((k, cin, cin), lambda bb, i: (0, 0, 0)),
             pl.BlockSpec((1, cin), lambda bb, i: (0, 0)),
             pl.BlockSpec((2, cin), lambda bb, i: (0, 0)),

@@ -24,6 +24,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _interpret() -> bool:
+    """FSAT_PALLAS_INTERPRET=1 runs the kernels in Pallas interpret mode
+    (pure Python/XLA emulation) so the CPU test suite exercises kernel logic
+    without TPU hardware."""
+    import os
+
+    return os.environ.get("FSAT_PALLAS_INTERPRET") == "1"
+
+
 def _kernel(x_cur, x_nxt, w_ref, b_ref, ab_ref, o_ref, xcat_ref, *, k: int, dilation: int,
             block_t: int, use_snake: bool):
     halo = (k - 1) * dilation
@@ -78,6 +87,7 @@ def _forward(x, w, bias, alpha, inv_beta, dilation: int, padding: int, block_t: 
     out = pl.pallas_call(
         kernel,
         grid=(b, n_t),
+        interpret=_interpret(),
         in_specs=[
             pl.BlockSpec((None, block_t, cin), lambda bb, i: (bb, i, 0)),
             pl.BlockSpec((None, halo_rows, cin),
@@ -158,10 +168,11 @@ def snake_conv1d(
         bt //= 2
 
     use_pallas = (
-        jax.default_backend() != "cpu"
+        (jax.default_backend() != "cpu" or _interpret())
         and x.shape[1] >= bt
         and bt >= 128
         and w_bytes < 6 * 2**20
+        and (k - 1) * dilation <= 128  # halo block is one 64/128-row tile
         and (k - 1) * dilation < bt
     )
     if not use_pallas:
@@ -228,6 +239,7 @@ def _upk_forward(x, wa, wb, bias, ab, stride, block_t, use_snake):
     out = pl.pallas_call(
         kernel,
         grid=(b, n_t),
+        interpret=_interpret(),
         in_specs=[
             pl.BlockSpec((None, block_t, cin), lambda bb, i: (bb, i, 0)),
             pl.BlockSpec((None, halo_rows, cin),
@@ -315,7 +327,7 @@ def snake_conv_transpose1d(
     while bt > 128 and 4 * bt * (7 * cin + 2 * stride * cout) > 10 * 2**20 - w_bytes:
         bt //= 2
     use_pallas = (
-        jax.default_backend() != "cpu"
+        (jax.default_backend() != "cpu" or _interpret())
         and stride % 2 == 0
         and k == 2 * stride
         and padding == stride // 2
@@ -337,8 +349,12 @@ def snake_conv_transpose1d(
 def _ru_kernel(x_cur, x_nxt, w1_ref, b1_ref, ab1_ref, w2_ref, b2_ref, ab2_ref,
                o_ref, xcat_ref, *, k: int, dilation: int, block_t: int):
     halo = (k - 1) * dilation
-    res = x_cur[:].astype(jnp.float32)
-    x = jnp.concatenate([res, x_nxt[:halo].astype(jnp.float32)], axis=0) if halo else res
+    padding = halo // 2
+    cur = x_cur[:].astype(jnp.float32)
+    x = jnp.concatenate([cur, x_nxt[:].astype(jnp.float32)], axis=0) if halo else cur
+    # x_cur starts `padding` rows BEFORE the tile (conv window alignment);
+    # the residual must be the unshifted tile rows
+    res = x[padding : padding + block_t]
     a1, ib1 = ab1_ref[0, :], ab1_ref[1, :]
     x = x + 0.5 * ib1 * (1.0 - jnp.cos(2.0 * a1 * x))
     cin = w1_ref.shape[1]
@@ -370,6 +386,7 @@ def _ru_forward(x, w1, b1, ab1, w2, b2, ab2, dilation, block_t):
     out = pl.pallas_call(
         kernel,
         grid=(b, n_t),
+        interpret=_interpret(),
         in_specs=[
             pl.BlockSpec((None, block_t, cin), lambda bb, i: (bb, i, 0)),
             pl.BlockSpec((None, halo_rows, cin),
@@ -427,10 +444,11 @@ def fused_residual_unit(x, w1, b1, alpha1, inv_beta1, w2, b2, alpha2, inv_beta2,
     while bt > 128 and 4 * bt * ((4 + k) * cin + 2 * cout) > budget:
         bt //= 2
     use_pallas = (
-        jax.default_backend() != "cpu"
+        (jax.default_backend() != "cpu" or _interpret())
         and x.shape[1] >= bt
         and bt >= 128
         and w_bytes < 6 * 2**20
+        and (k - 1) * dilation <= 128  # halo block is one 64/128-row tile
         and (k - 1) * dilation < bt
     )
     if not use_pallas:

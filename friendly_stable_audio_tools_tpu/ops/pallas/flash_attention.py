@@ -14,9 +14,11 @@ Design (measured on v5e):
   * long sequences / causal: online-softmax fori_loop over K blocks
     (O(seq) VMEM); causal variant skips fully-masked K blocks via the grid
     index.
-  * backward pass: recomputation via the XLA attention vjp (correct, and
-    memory-fine at the sequence lengths the training configs use); a custom
-    bwd kernel is the next optimization step for very long sequences.
+  * backward pass: FlashAttention-2-style custom Pallas kernels — the
+    forward saves per-row softmax stats (m, l); backward runs two passes,
+    dq over q blocks and dk/dv over k blocks, each recomputing its P tile
+    in VMEM (no [T, T] materialization in HBM). CPU falls back to the XLA
+    vjp.
 
 Perf note: at head_dim 64 the score/PV dots use half the MXU's 128-wide
 contraction, capping attention at ~0.5x GEMM peak regardless of scheduling;
@@ -34,6 +36,15 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+
+def _interpret() -> bool:
+    """FSAT_PALLAS_INTERPRET=1 runs the kernels in Pallas interpret mode
+    (pure Python/XLA emulation) so the CPU test suite exercises kernel logic
+    without TPU hardware."""
+    import os
+
+    return os.environ.get("FSAT_PALLAS_INTERPRET") == "1"
+
 DEFAULT_BLOCK_Q = 256
 DEFAULT_BLOCK_K = 512
 # scores tile bq x tk fp32 must fit scoped VMEM (16 MB) alongside K/V
@@ -41,7 +52,8 @@ SINGLE_DOT_MAX_TK = 8192
 NEG_INF = -1e30
 
 
-def _single_dot_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int):
+def _single_dot_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float, kv_len: int,
+                       save_stats: bool):
     """Whole-K attention for one q block: one score dot, exact softmax,
     normalization on the output."""
     s = jax.lax.dot_general(
@@ -58,10 +70,12 @@ def _single_dot_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int)
         preferred_element_type=jnp.float32,
     )
     o_ref[:] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    if save_stats:
+        lse_ref[:] = jnp.broadcast_to(m + jnp.log(jnp.maximum(l, 1e-30)), lse_ref.shape)
 
 
-def _online_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, causal: bool,
-                   scale: float, kv_len: int):
+def _online_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int, causal: bool,
+                   scale: float, kv_len: int, save_stats: bool):
     bq = q_ref.shape[0]
     t_k = k_ref.shape[0]
     d = q_ref.shape[1]
@@ -103,9 +117,15 @@ def _online_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, causal: bool,
         m, l, acc = jax.lax.fori_loop(0, n_k, body, (m0, l0, acc0))
 
     o_ref[:] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    if save_stats:
+        lse_ref[:] = jnp.broadcast_to(m + jnp.log(jnp.maximum(l, 1e-30)), lse_ref.shape)
 
 
-def _flash_forward(q, k, v, causal: bool, block_q: int, block_k: int):
+STAT_LANES = 128  # lse stored broadcast over one lane tile (layout-friendly)
+
+
+def _flash_forward(q, k, v, causal: bool, block_q: int, block_k: int,
+                   save_stats: bool = False):
     bh, t_q, d = q.shape
     t_k = k.shape[1]
     scale = 1.0 / math.sqrt(d)
@@ -126,26 +146,38 @@ def _flash_forward(q, k, v, causal: bool, block_q: int, block_k: int):
     t_qp, t_kp = q.shape[1], k.shape[1]
 
     if single_dot:
-        kernel = functools.partial(_single_dot_kernel, scale=scale, kv_len=t_k)
+        kernel = functools.partial(_single_dot_kernel, scale=scale, kv_len=t_k,
+                                   save_stats=save_stats)
     else:
         kernel = functools.partial(_online_kernel, block_k=block_k, causal=causal,
-                                   scale=scale, kv_len=t_k)
+                                   scale=scale, kv_len=t_k, save_stats=save_stats)
+    if not save_stats:
+        # inference: no stats output (its write-back would cost real HBM BW)
+        kernel = functools.partial(kernel, lse_ref=None)
 
-    out = pl.pallas_call(
+    out_specs = [pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0))]
+    out_shape = [jax.ShapeDtypeStruct((bh, t_qp, d), q.dtype)]
+    if save_stats:
+        out_specs.append(pl.BlockSpec((None, block_q, STAT_LANES), lambda b, i: (b, i, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((bh, t_qp, STAT_LANES), jnp.float32))
+
+    res = pl.pallas_call(
         kernel,
         grid=(bh, t_qp // block_q),
+        interpret=_interpret(),
         in_specs=[
             pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0)),
             pl.BlockSpec((None, t_kp, d), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((None, t_kp, d), lambda b, i: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, t_qp, d), q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
     )(q, k, v)
 
+    out = res[0]
     if pq:
         out = out[:, :t_q]
-    return out
+    return (out, res[1]) if save_stats else out
 
 
 def _xla_reference(q, k, v, causal):
@@ -159,19 +191,166 @@ def _xla_reference(q, k, v, causal):
     return jnp.einsum("bij,bjd->bid", p.astype(v.dtype), v).astype(q.dtype)
 
 
+# ---------------------------------------------------------------------------
+# backward: FlashAttention-2 two-pass recomputation with saved LSE
+# ---------------------------------------------------------------------------
+
+BWD_CHUNK = 512  # inner fori chunk over the non-gridded sequence axis
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, dq_ref, *,
+                   scale: float, kv_len: int, causal: bool, block_q: int):
+    t_kp, d = k_ref.shape
+    bq = q_ref.shape[0]
+    qi = pl.program_id(1)
+    q = q_ref[:]
+    do = do_ref[:]
+    # D_i = rowsum(dO * O) (fp32)
+    dcap = jnp.sum(do.astype(jnp.float32) * o_ref[:].astype(jnp.float32), axis=1, keepdims=True)
+    lse = lse_ref[:, :1]
+    n_chunks = t_kp // BWD_CHUNK
+
+    def body(j, acc):
+        k = k_ref[pl.ds(j * BWD_CHUNK, BWD_CHUNK), :]
+        v = v_ref[pl.ds(j * BWD_CHUNK, BWD_CHUNK), :]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        k_pos = j * BWD_CHUNK + jax.lax.broadcasted_iota(jnp.int32, (bq, BWD_CHUNK), 1)
+        if causal:
+            q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (bq, BWD_CHUNK), 0)
+            s = jnp.where(k_pos <= q_pos, s, NEG_INF)
+        if kv_len % BWD_CHUNK != 0 or kv_len < t_kp:
+            s = jnp.where(k_pos < kv_len, s, NEG_INF)
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = (p * (dp - dcap) * scale).astype(q.dtype)
+        return acc + jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+
+    acc = jax.lax.fori_loop(0, n_chunks, body, jnp.zeros((bq, d), jnp.float32))
+    dq_ref[:] = acc.astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, dk_ref, dv_ref, *,
+                         scale: float, kv_len: int, causal: bool, block_k: int):
+    t_qp, d = q_ref.shape
+    bk = k_ref.shape[0]
+    ki = pl.program_id(1)
+    k = k_ref[:]
+    v = v_ref[:]
+    n_chunks = t_qp // BWD_CHUNK
+
+    def body(i, carry):
+        dk, dv = carry
+        q = q_ref[pl.ds(i * BWD_CHUNK, BWD_CHUNK), :]
+        do = do_ref[pl.ds(i * BWD_CHUNK, BWD_CHUNK), :]
+        o = o_ref[pl.ds(i * BWD_CHUNK, BWD_CHUNK), :]
+        lse = lse_ref[pl.ds(i * BWD_CHUNK, BWD_CHUNK), :1]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (BWD_CHUNK, bk), 1)
+        if causal:
+            q_pos = i * BWD_CHUNK + jax.lax.broadcasted_iota(jnp.int32, (BWD_CHUNK, bk), 0)
+            s = jnp.where(k_pos <= q_pos, s, NEG_INF)
+        if kv_len % block_k != 0:
+            s = jnp.where(k_pos < kv_len, s, NEG_INF)
+        p = jnp.exp(s - lse)  # padded q rows have do = 0, so they contribute 0
+        pb = p.astype(do.dtype)
+        dv = dv + jax.lax.dot_general(pb, do, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        dcap = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=1, keepdims=True)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = (p * (dp - dcap) * scale).astype(q.dtype)
+        dk = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        return dk, dv
+
+    z = jnp.zeros((bk, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, n_chunks, body, (z, z))
+    dk_ref[:] = dk.astype(dk_ref.dtype)
+    dv_ref[:] = dv.astype(dv_ref.dtype)
+
+
+def _flash_backward(q, k, v, out, lse, g, causal, block_q, block_k):
+    """FA2 backward: dq gridded over q blocks, dk/dv gridded over k blocks."""
+    bh, t_q, d = q.shape
+    t_k = k.shape[1]
+    scale = 1.0 / math.sqrt(d)
+
+    # bwd blocks are independent of the fwd's; clamp to the chunk size so
+    # padded lengths stay multiples of both the block and BWD_CHUNK
+    block_q = min(block_q, BWD_CHUNK)
+    block_k = min(block_k, BWD_CHUNK)
+    pq = (-t_q) % BWD_CHUNK
+    pk = (-t_k) % BWD_CHUNK
+    qp = jnp.pad(q, ((0, 0), (0, pq), (0, 0)))
+    dop = jnp.pad(g, ((0, 0), (0, pq), (0, 0)))
+    op = jnp.pad(out, ((0, 0), (0, pq), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, pk), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, pk), (0, 0)))
+    # lse comes padded to the forward's q padding; re-pad to bwd alignment.
+    # padded q rows: lse = 0 -> p = exp(s) finite; their do rows are zero.
+    lsep = jnp.pad(lse[:, :t_q], ((0, 0), (0, pq), (0, 0)))
+    t_qp, t_kp = qp.shape[1], kp.shape[1]
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, kv_len=t_k, causal=causal,
+                          block_q=block_q),
+        grid=(bh, t_qp // block_q),
+        interpret=_interpret(),
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((None, t_kp, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((None, t_kp, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((None, block_q, STAT_LANES), lambda b, i: (b, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, t_qp, d), q.dtype),
+    )(qp, kp, vp, dop, op, lsep)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, kv_len=t_k, causal=causal,
+                          block_k=block_k),
+        grid=(bh, t_kp // block_k),
+        interpret=_interpret(),
+        in_specs=[
+            pl.BlockSpec((None, t_qp, d), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((None, block_k, d), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((None, block_k, d), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((None, t_qp, d), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((None, t_qp, d), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((None, t_qp, STAT_LANES), lambda b, j: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, block_k, d), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((None, block_k, d), lambda b, j: (b, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, t_kp, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, t_kp, d), q.dtype),
+        ],
+    )(qp, kp, vp, dop, op, lsep)
+
+    return dq[:, :t_q], dk[:, :t_k], dv[:, :t_k]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _flash(q, k, v, causal, block_q, block_k):
     return _flash_forward(q, k, v, causal, block_q, block_k)
 
 
 def _flash_fwd(q, k, v, causal, block_q, block_k):
-    return _flash_forward(q, k, v, causal, block_q, block_k), (q, k, v)
+    out, lse = _flash_forward(q, k, v, causal, block_q, block_k, save_stats=True)
+    return out, (q, k, v, out, lse)
 
 
 def _flash_bwd(causal, block_q, block_k, res, g):
-    q, k, v = res
-    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_reference(q_, k_, v_, causal), q, k, v)
-    return vjp(g)
+    q, k, v, out, lse = res
+    return _flash_backward(q, k, v, out, lse, g, causal, block_q, block_k)
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -183,8 +362,8 @@ def flash_attention(q, k, v, causal: bool = False,
     padding mask (the DiT inference path guarantees this; ops/attention.py
     falls back to the XLA path otherwise)."""
     b, h, t, d = q.shape
-    bq = min(block_q, t)
-    bk = min(block_k, t)
+    bq = min(block_q, (t + 7) // 8 * 8)
+    bk = min(block_k, (t + 7) // 8 * 8)
     qf = q.reshape(b * h, t, d)
     kf = k.reshape(b * h, t, d)
     vf = v.reshape(b * h, t, d)

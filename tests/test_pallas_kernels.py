@@ -1,0 +1,121 @@
+"""Pallas kernel logic tests, runnable on CPU via interpret mode
+(FSAT_PALLAS_INTERPRET=1 routes the TPU kernels through the Pallas
+interpreter). On real TPU the same code paths compile through Mosaic."""
+
+import os
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    monkeypatch.setenv("FSAT_PALLAS_INTERPRET", "1")
+
+
+def test_snake_conv1d_matches_xla():
+    from friendly_stable_audio_tools_tpu.ops.pallas.conv1d import snake_conv1d, _xla_reference
+
+    rng = np.random.RandomState(0)
+    for (t, cin, cout, k, d) in ((300, 128, 128, 7, 3), (256, 128, 256, 1, 1), (200, 128, 128, 7, 9)):
+        x = jnp.asarray(rng.randn(2, t, cin), jnp.float32) * 0.3
+        w = jnp.asarray(rng.randn(k, cin, cout), jnp.float32) * 0.05
+        b = jnp.asarray(rng.randn(cout), jnp.float32) * 0.1
+        a = jnp.asarray(np.abs(rng.randn(cin)) + 0.5, jnp.float32)
+        ib = jnp.asarray(np.abs(rng.randn(cin)) + 0.5, jnp.float32)
+        got = snake_conv1d(x, w, b, a, ib, dilation=d, block_t=128)
+        ref = _xla_reference(x, w, b, a, ib, d, (d * (k - 1)) // 2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_fused_residual_unit_matches_xla():
+    from friendly_stable_audio_tools_tpu.ops.pallas.conv1d import fused_residual_unit, _ru_xla
+
+    rng = np.random.RandomState(1)
+    t, c = 384, 128
+    x = jnp.asarray(rng.randn(1, t, c), jnp.float32) * 0.3
+    w1 = jnp.asarray(rng.randn(7, c, c), jnp.float32) * 0.05
+    b1 = jnp.asarray(rng.randn(c), jnp.float32) * 0.1
+    w2 = jnp.asarray(rng.randn(c, c), jnp.float32) * 0.05
+    b2 = jnp.asarray(rng.randn(c), jnp.float32) * 0.1
+    a1 = jnp.asarray(np.abs(rng.randn(c)) + 0.5, jnp.float32)
+    a2 = jnp.asarray(np.abs(rng.randn(c)) + 0.5, jnp.float32)
+    got = fused_residual_unit(x, w1, b1, a1, a1, w2, b2, a2, a2, dilation=3, block_t=128)
+    ab1 = jnp.stack([a1, a1]); ab2 = jnp.stack([a2, a2])
+    ref = _ru_xla(x, w1, b1, ab1, w2, b2, ab2, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+@pytest.mark.parametrize("stride,cin,cout", [(2, 128, 128), (4, 256, 128), (8, 128, 128)])
+def test_snake_conv_transpose1d_matches_xla(stride, cin, cout):
+    from friendly_stable_audio_tools_tpu.ops.pallas.conv1d import snake_conv_transpose1d, _upk_xla
+
+    rng = np.random.RandomState(2)
+    t = 200
+    x = jnp.asarray(rng.randn(2, t, cin), jnp.float32) * 0.3
+    w = jnp.asarray(rng.randn(2 * stride, cin, cout), jnp.float32) * 0.05
+    b = jnp.asarray(rng.randn(cout), jnp.float32) * 0.1
+    a = jnp.asarray(np.abs(rng.randn(cin)) + 0.5, jnp.float32)
+    ib = jnp.asarray(np.abs(rng.randn(cin)) + 0.5, jnp.float32)
+    got = snake_conv_transpose1d(x, w, b, a, ib, stride=stride, block_t=128)
+    ref = _upk_xla(x, w, b, a, ib, stride)
+    assert got.shape == (2, t * stride, cout)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+    # backward (XLA-recompute vjp)
+    g = jax.grad(lambda x: snake_conv_transpose1d(x, w, b, a, ib, stride=stride, block_t=128).sum())(x)
+    gr = jax.grad(lambda x: _upk_xla(x, w, b, a, ib, stride).sum())(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr), atol=1e-4)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_attention_fwd_bwd(causal):
+    from friendly_stable_audio_tools_tpu.ops.pallas.flash_attention import (
+        flash_attention, _xla_reference,
+    )
+
+    rng = np.random.RandomState(3)
+    B, H, L, D = 1, 2, 200, 64
+    q = jnp.asarray(rng.randn(B, H, L, D), jnp.float32) * 0.3
+    k = jnp.asarray(rng.randn(B, H, L, D), jnp.float32) * 0.3
+    v = jnp.asarray(rng.randn(B, H, L, D), jnp.float32) * 0.3
+    g = jnp.asarray(rng.randn(B, H, L, D), jnp.float32)
+
+    got = flash_attention(q, k, v, causal=causal)
+    ref = _xla_reference(q.reshape(B * H, L, D), k.reshape(B * H, L, D),
+                         v.reshape(B * H, L, D), causal).reshape(B, H, L, D)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-3)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=causal) * g)
+
+    def loss_ref(q, k, v):
+        o = _xla_reference(q.reshape(B * H, L, D), k.reshape(B * H, L, D),
+                           v.reshape(B * H, L, D), causal)
+        return jnp.sum(o.reshape(B, H, L, D) * g)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        # bf16 in-kernel dots vs fp32 reference
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+
+
+def test_flash_attention_long_seq_online_path():
+    """t_k above the single-dot ceiling exercises the online-softmax kernel."""
+    import friendly_stable_audio_tools_tpu.ops.pallas.flash_attention as fa
+
+    rng = np.random.RandomState(4)
+    B, H, L, D = 1, 1, 300, 64
+    q = jnp.asarray(rng.randn(B, H, L, D), jnp.float32) * 0.3
+    old = fa.SINGLE_DOT_MAX_TK
+    try:
+        fa.SINGLE_DOT_MAX_TK = 0  # force the online kernel
+        got = fa.flash_attention(q, q, q, block_q=128, block_k=128)
+    finally:
+        fa.SINGLE_DOT_MAX_TK = old
+    ref = fa._xla_reference(q.reshape(B * H, L, D), q.reshape(B * H, L, D),
+                            q.reshape(B * H, L, D), False).reshape(B, H, L, D)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-3)

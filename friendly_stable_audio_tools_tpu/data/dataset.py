@@ -21,6 +21,7 @@ from __future__ import annotations
 import importlib.util
 import io
 import json
+import logging
 import os
 import queue
 import random
@@ -333,74 +334,156 @@ def get_s3_shard_urls(s3_path: str, profile: tp.Optional[str] = None):
     return urls
 
 
+def _base_plus_ext(path: str):
+    """Split 'dir/name.a.b' -> ('dir/name', 'a.b') (WebDataset key grouping)."""
+    import re
+
+    m = re.match(r"^((?:.*/)?.+?)\.([^/]*)$", path)
+    if m is None:
+        return None, None
+    return m.group(1), m.group(2)
+
+
+def _open_shard(url: str):
+    """Open a shard as a binary stream: local path, file: url, or a
+    'pipe:<command>' url (the S3 path pipes `aws s3 cp <key> -`, exactly like
+    the reference's WebDataset urls, reference :234-335)."""
+    import io
+    import subprocess
+
+    if url.startswith("pipe:"):
+        proc = subprocess.Popen(url[len("pipe:"):], shell=True, stdout=subprocess.PIPE,
+                                stderr=subprocess.DEVNULL)
+        return proc.stdout
+    if url.startswith("file:"):
+        url = url[len("file:"):]
+    return open(url, "rb")
+
+
+def tar_shard_samples(url: str):
+    """Stream one tar shard into grouped sample dicts
+    {'__key__', '__url__', '<ext>': bytes, ...} — a native replacement for
+    webdataset's tarfile_to_samples + (patched) group_by_keys
+    (reference :200-228: groups strictly by consecutive prefix)."""
+    import tarfile
+
+    stream = _open_shard(url)
+    current: tp.Optional[dict] = None
+    try:
+        with tarfile.open(fileobj=stream, mode="r|*") as tf:
+            for member in tf:
+                if not member.isfile():
+                    continue
+                prefix, suffix = _base_plus_ext(member.name)
+                if prefix is None:
+                    continue
+                suffix = suffix.lower()
+                if current is None or prefix != current["__key__"]:
+                    if current is not None and len(current) > 2:
+                        yield current
+                    current = {"__key__": prefix, "__url__": url}
+                f = tf.extractfile(member)
+                if f is not None:
+                    current[suffix] = f.read()
+        if current is not None and len(current) > 2:
+            yield current
+    finally:
+        try:
+            stream.close()
+        except Exception:
+            pass
+
+
 class S3WebDataLoader:
-    """WebDataset pipeline over S3 tar shards (reference :404-512). Requires
-    `webdataset` + the aws cli; constructed lazily so local installs without
-    them can still import this module."""
+    """Tar-shard streaming pipeline (reference :404-512), implemented natively
+    (tarfile + subprocess pipes) instead of depending on the `webdataset`
+    package: infinite resampled shard order, shard streaming with
+    warn-and-continue error handling, per-sample decode/crop/augment, silence
+    and `__reject__` filtering, full batches only, `epoch_steps` batches per
+    epoch. Yields (audio [B, C, T] float32, list-of-metadata-dicts)."""
 
     def __init__(self, datasets: tp.List[S3DatasetConfig], batch_size, sample_size,
                  sample_rate=48000, num_workers=8, epoch_steps=1000, random_crop=True,
-                 force_channels="stereo", augment_phase=True, **kwargs):
-        try:
-            import webdataset as wds  # type: ignore
-        except ImportError as e:
-            raise ImportError(
-                "The s3 dataset path needs the optional `webdataset` package"
-            ) from e
-        from ..utils.audio_utils import is_silence
-
+                 force_channels="stereo", augment_phase=True, shard_urls=None, seed=0,
+                 **kwargs):
         self.datasets = datasets
+        self.batch_size = batch_size
         self.sample_size = sample_size
         self.sample_rate = sample_rate
         self.random_crop = random_crop
         self.force_channels = force_channels
         self.augment_phase = augment_phase
+        self.epoch_steps = epoch_steps
         self.pad_crop = PadCrop_Normalized_T(sample_size, sample_rate, randomize=random_crop)
         self.encoding = Stereo() if force_channels == "stereo" else Mono()
         self.augs = PhaseFlipper() if augment_phase else (lambda x: x)
+        self._rng = random.Random(seed)
 
-        urls = []
-        for ds in datasets:
-            urls.extend(get_s3_shard_urls(ds.s3_path, ds.profile))
+        if shard_urls is None:
+            shard_urls = []
+            for ds in datasets:
+                shard_urls.extend(get_s3_shard_urls(ds.s3_path, ds.profile))
+        assert shard_urls, "no .tar shards found"
+        self.shard_urls = list(shard_urls)
+        self.data_loader = self  # API parity with the wds-based layout
 
-        def preprocess(sample):
-            found_key = None
-            for k in sample.keys():
-                if k.split(".")[-1] in AUDIO_KEYS:
-                    found_key = k
-                    break
-            if found_key is None:
-                return None
-            audio, in_sr = _decode_bytes(sample[found_key], found_key.split(".")[-1])
-            audio = resample_audio(audio, in_sr, self.sample_rate)
-            if is_silence(audio):
-                return None
-            audio, t_start, t_end, seconds_start, seconds_total, padding_mask = self.pad_crop(audio)
-            audio = self.augs(self.encoding(audio))
-            audio = np.clip(audio, -1, 1)
-            info = json.loads(sample.get("json", b"{}")) if "json" in sample else {}
-            info.update({
-                "timestamps": (t_start, t_end),
-                "seconds_start": seconds_start,
-                "seconds_total": seconds_total,
-                "padding_mask": padding_mask,
-            })
-            for ds in self.datasets:
-                if ds.custom_metadata_fn is not None:
-                    info.update(ds.custom_metadata_fn(info, audio))
-            if info.get("__reject__"):
-                return None
-            info.setdefault("prompt", "This is a dummy prompt")
-            return (audio, info)
+    def preprocess(self, sample):
+        from ..utils.audio_utils import is_silence
 
-        pipeline = wds.DataPipeline(
-            wds.ResampledShards(urls),
-            wds.tarfile_to_samples(handler=wds.warn_and_continue),
-            wds.map(preprocess, handler=wds.warn_and_continue),
-            wds.select(lambda x: x is not None),
-            wds.batched(batch_size, collation_fn=audio_metadata_collation),
-        )
-        self.data_loader = pipeline
+        found_key = None
+        for k in sample.keys():
+            if k.split(".")[-1] in AUDIO_KEYS:
+                found_key = k
+                break
+        if found_key is None:
+            return None
+        audio, in_sr = _decode_bytes(sample[found_key], found_key.split(".")[-1])
+        audio = resample_audio(audio, in_sr, self.sample_rate)
+        if is_silence(audio):
+            return None
+        audio, t_start, t_end, seconds_start, seconds_total, padding_mask = self.pad_crop(audio)
+        audio = self.augs(self.encoding(audio))
+        audio = np.clip(audio, -1, 1)
+        info = json.loads(sample.get("json", b"{}")) if "json" in sample else {}
+        info.update({
+            "timestamps": (t_start, t_end),
+            "seconds_start": seconds_start,
+            "seconds_total": seconds_total,
+            "padding_mask": padding_mask,
+        })
+        for ds in self.datasets:
+            if ds.custom_metadata_fn is not None:
+                info.update(ds.custom_metadata_fn(info, audio))
+        if info.get("__reject__"):
+            return None
+        info.setdefault("prompt", "This is a dummy prompt")
+        return (audio, info)
+
+    def _sample_stream(self):
+        """Infinite stream: random shard (with replacement, like
+        wds.ResampledShards), warn-and-continue on shard/sample errors."""
+        while True:
+            url = self._rng.choice(self.shard_urls)
+            try:
+                for sample in tar_shard_samples(url):
+                    try:
+                        out = self.preprocess(sample)
+                    except Exception as e:  # warn-and-continue (reference :338-341)
+                        logging.warning(f"sample error in {url}: {e!r}")
+                        continue
+                    if out is not None:
+                        yield out
+            except Exception as e:
+                logging.warning(f"shard error for {url}: {e!r}")
+
+    def __len__(self):
+        return self.epoch_steps
+
+    def __iter__(self):
+        stream = self._sample_stream()
+        for _ in range(self.epoch_steps):
+            batch = [next(stream) for _ in range(self.batch_size)]
+            yield audio_metadata_collation(batch)
 
 
 def _decode_bytes(data: bytes, ext: str):

@@ -114,3 +114,109 @@ def test_channel_ops():
 def test_is_silence():
     assert is_silence(np.zeros((2, 100)) + 1e-6)
     assert not is_silence(np.ones((2, 100)) * 0.5)
+
+
+# ---------------------------------------------------------------------------
+# native tar-shard (WebDataset-format) pipeline
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tar_shards(tmp_path_factory):
+    import io as _io
+    import json as _json
+    import tarfile
+
+    d = tmp_path_factory.mktemp("shards")
+    rng = np.random.default_rng(0)
+    for shard in range(2):
+        with tarfile.open(d / f"shard-{shard:04d}.tar", "w") as tf:
+            for i in range(4):
+                key = f"s{shard}_item{i}"
+                t = np.linspace(0, 1.0, 16000, endpoint=False)
+                tone = (0.3 * np.sin(2 * np.pi * (200 + 100 * i) * t)).astype(np.float32)
+                buf = _io.BytesIO()
+                from friendly_stable_audio_tools_tpu.utils.audio_utils import write_wav
+
+                import tempfile, os as _os
+                with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
+                    write_wav(f.name, 16000, np.stack([tone, tone]))
+                    fname = f.name
+                tf.add(fname, arcname=f"{key}.wav")
+                _os.unlink(fname)
+                meta = _json.dumps({"prompt": f"tone {shard}/{i}"}).encode()
+                info = tarfile.TarInfo(f"{key}.json")
+                info.size = len(meta)
+                tf.addfile(info, _io.BytesIO(meta))
+    return d
+
+
+def test_tar_shard_samples_grouping(tar_shards):
+    from friendly_stable_audio_tools_tpu.data.dataset import tar_shard_samples
+
+    samples = list(tar_shard_samples(str(tar_shards / "shard-0000.tar")))
+    assert len(samples) == 4
+    for s in samples:
+        assert set(s.keys()) == {"__key__", "__url__", "wav", "json"}
+
+
+def test_tar_shard_pipe_url(tar_shards):
+    from friendly_stable_audio_tools_tpu.data.dataset import tar_shard_samples
+
+    url = f"pipe:cat {tar_shards / 'shard-0001.tar'}"
+    samples = list(tar_shard_samples(url))
+    assert len(samples) == 4
+
+
+def test_s3_webdataloader_local(tar_shards):
+    from friendly_stable_audio_tools_tpu.data.dataset import S3DatasetConfig, S3WebDataLoader
+
+    loader = S3WebDataLoader(
+        [S3DatasetConfig(id="t", s3_path="unused")],
+        batch_size=3, sample_size=8000, sample_rate=16000, epoch_steps=4,
+        shard_urls=[str(p) for p in sorted(tar_shards.glob("*.tar"))],
+    )
+    batches = list(loader)
+    assert len(batches) == 4 == len(loader)
+    audio, metas = batches[0]
+    assert audio.shape == (3, 2, 8000)
+    assert audio.dtype == np.float32
+    assert all("prompt" in m and "padding_mask" in m for m in metas)
+
+
+def test_s3_webdataloader_reject(tar_shards, tmp_path):
+    from friendly_stable_audio_tools_tpu.data.dataset import S3DatasetConfig, S3WebDataLoader
+
+    cfg = S3DatasetConfig(id="t", s3_path="unused")
+    seen = []
+
+    def md(info, audio):
+        seen.append(info["prompt"])
+        return {"__reject__": "item2" in info.get("prompt", "")} if "item2" in info.get("prompt", "") else {}
+
+    cfg.custom_metadata_fn = md
+    loader = S3WebDataLoader(
+        [cfg], batch_size=2, sample_size=4000, sample_rate=16000, epoch_steps=3,
+        shard_urls=[str(p) for p in sorted(tmp_path.parent.glob("shards*/*.tar")) or sorted(tar_shards.glob("*.tar"))],
+    )
+    for audio, metas in loader:
+        assert all("item2" not in m["prompt"] for m in metas)
+
+
+def test_get_s3_shard_urls_parsing(monkeypatch):
+    from friendly_stable_audio_tools_tpu.data import dataset as D
+
+    class FakeResult:
+        stdout = (
+            "2024-01-01 00:00:00    1234 data/train/shard-0000.tar\n"
+            "2024-01-01 00:00:00    1234 data/train/notes.txt\n"
+            "2024-01-01 00:00:00    1234 data/train/shard-0001.tar\n"
+        )
+
+    import subprocess
+    monkeypatch.setattr(subprocess, "run", lambda *a, **k: FakeResult())
+    urls = D.get_s3_shard_urls("s3://bucket/data/train/")
+    assert urls == [
+        "pipe:aws s3 cp s3://bucket/data/train/shard-0000.tar -",
+        "pipe:aws s3 cp s3://bucket/data/train/shard-0001.tar -",
+    ]

@@ -153,6 +153,47 @@ class DiffusionCondDemoCallback(DemoCallback):
             model.params = old
 
 
+class DiffusionAutoencoderDemoCallback(DemoCallback):
+    """Encode -> diffusion-decode reconstruction demos
+    (reference training/diffusion.py:1109-1188)."""
+
+    def __init__(self, demo_every: int = 2000, max_num_sample: int = 4,
+                 demo_steps: int = 100, sample_size: int = 65536,
+                 sample_rate: int = 48000, **kw):
+        super().__init__(demo_every)
+        self.max_num_sample = max_num_sample
+        self.demo_steps = demo_steps
+        self.sample_rate = sample_rate
+
+    def run_demo(self, trainer, state, step, batch):
+        import jax.numpy as jnp
+
+        reals, _ = batch
+        reals = np.asarray(reals)[: self.max_num_sample]
+        diffae = trainer.wrapper.diffae
+        old_ae, old_d = diffae.params, diffae.diffusion.params
+        params = jax.device_get(
+            state.ema_params if getattr(state, "ema_params", None) is not None else state.params)
+        diffae.params = params["ae"]
+        diffae.diffusion.params = params["diffusion"]
+        try:
+            latents = diffae.encode(jnp.asarray(reals), rng=jax.random.PRNGKey(step))
+            recon = np.asarray(diffae.decode(latents, steps=self.demo_steps,
+                                             rng=jax.random.PRNGKey(step + 1)))
+        finally:
+            diffae.params, diffae.diffusion.params = old_ae, old_d
+        out = self._out_dir(trainer, step)
+        for i in range(len(recon)):
+            write_wav(os.path.join(out, f"recon_{i}.wav"), self.sample_rate, recon[i])
+            write_wav(os.path.join(out, f"real_{i}.wav"), self.sample_rate, reals[i])
+            trainer.logger.log_audio(f"demo/diffae_recon_{i}", recon[i], self.sample_rate, step=step)
+        fig = audio_spectrogram_image(recon[0], self.sample_rate)
+        if fig is not None:
+            trainer.logger.log_image("demo/diffae_recon_melspec", fig, step=step)
+        pc = pca_point_cloud(np.asarray(latents).transpose(0, 2, 1))
+        np.save(os.path.join(out, "latent_pca.npy"), pc)
+
+
 class AudioLanguageModelDemoCallback(DemoCallback):
     """LM generation demos (reference training/lm.py:181-266)."""
 

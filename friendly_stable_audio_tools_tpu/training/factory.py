@@ -165,6 +165,17 @@ def create_demo_callback_from_config(model_config: dict, **kwargs):
             display_audio_cond=demo_config.get("display_audio_cond", False),
             **kwargs,
         )
+    if model_type == "diffusion_autoencoder":
+        from .demos import DiffusionAutoencoderDemoCallback
+
+        return DiffusionAutoencoderDemoCallback(
+            demo_every=demo_config.get("demo_every", 2000),
+            max_num_sample=demo_config.get("max_num_sample", 4),
+            demo_steps=demo_config.get("demo_steps", 100),
+            sample_size=model_config["sample_size"],
+            sample_rate=model_config["sample_rate"],
+            **kwargs,
+        )
     if model_type == "lm":
         from .demos import AudioLanguageModelDemoCallback
 

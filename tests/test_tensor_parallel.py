@@ -1,0 +1,87 @@
+"""Tensor-parallel DiT sharding on a virtual 8-device CPU mesh: TP output
+must equal the replicated single-device output, shardings must actually
+split the projections, and TP must compose with data parallelism."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from friendly_stable_audio_tools_tpu.models.dit import DiffusionTransformer
+from friendly_stable_audio_tools_tpu.parallel.mesh import create_mesh
+from friendly_stable_audio_tools_tpu.parallel.tp import tp_shard_params
+
+pytestmark = pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+
+
+@pytest.fixture(scope="module")
+def dit_and_params():
+    dit = DiffusionTransformer(
+        io_channels=8, embed_dim=64, depth=2, num_heads=4,
+        cond_token_dim=16, global_cond_dim=16,
+        transformer_type="continuous_transformer", global_cond_type="prepend",
+    )
+    x = jnp.zeros((2, 16, 8))
+    t = jnp.full((2,), 0.3)
+    c = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 16)) * 0.1
+    g = jax.random.normal(jax.random.PRNGKey(2), (2, 16)) * 0.1
+    params = dit.init(jax.random.PRNGKey(0), x, t, cross_attn_cond=c, global_embed=g)["params"]
+    x = jax.random.normal(jax.random.PRNGKey(3), x.shape) * 0.5
+    return dit, params, (x, t, c, g)
+
+
+def _forward(dit):
+    def fn(params, x, t, c, g):
+        return dit.apply({"params": params}, x, t, cross_attn_cond=c, global_embed=g)
+    return fn
+
+
+def test_tp_matches_replicated(dit_and_params):
+    dit, params, (x, t, c, g) = dit_and_params
+    ref = _forward(dit)(params, x, t, c, g)
+
+    mesh = create_mesh(8, data=2, tensor=4)
+    tp_params = tp_shard_params(params, mesh)
+
+    # projections actually sharded over 'tensor'
+    qkv = tp_params["transformer"]["layer0"]["self_attn"]["to_qkv"]["kernel"]
+    assert qkv.sharding.spec == P(None, "tensor")
+    out = tp_params["transformer"]["layer0"]["self_attn"]["to_out"]["kernel"]
+    assert out.sharding.spec == P("tensor", None)
+    norm = tp_params["transformer"]["layer0"]["pre_norm"]["gamma"]
+    assert norm.sharding.spec == P()
+
+    with mesh:
+        xb = jax.device_put(x, NamedSharding(mesh, P("data")))
+        got = jax.jit(_forward(dit))(tp_params, xb, t, c, g)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_tp_non_divisible_replicates(dit_and_params):
+    dit, params, _ = dit_and_params
+    mesh = create_mesh(8, data=1, tensor=8)  # ff bias 256 % 8 == 0 but qkv 3*64=192/8=24 ok; heads 4 < 8
+    tp_params = tp_shard_params(params, mesh)
+    # everything still placed; non-divisible leaves fall back to replication
+    for path, leaf in jax.tree_util.tree_leaves_with_path(tp_params):
+        assert leaf.sharding.mesh.shape == mesh.shape
+
+
+def test_tp_gradients(dit_and_params):
+    """TP-sharded params train: grads computed under the mesh match the
+    replicated grads."""
+    dit, params, (x, t, c, g) = dit_and_params
+
+    def loss(params):
+        return jnp.mean(jnp.square(_forward(dit)(params, x, t, c, g)))
+
+    ref_grads = jax.grad(loss)(params)
+    mesh = create_mesh(8, data=1, tensor=8)
+    tp_params = tp_shard_params(params, mesh)
+    with mesh:
+        got_grads = jax.jit(jax.grad(loss))(tp_params)
+    for (pa, a), (pb, b) in zip(jax.tree_util.tree_leaves_with_path(ref_grads),
+                                jax.tree_util.tree_leaves_with_path(got_grads)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5,
+                                   err_msg=jax.tree_util.keystr(pa))

@@ -80,16 +80,18 @@ def conv1d(
     """[B, T, Cin] x [k, Cin/groups, Cout] -> [B, T', Cout]."""
     if _use_gemm_conv(x, w, groups) and not isinstance(padding, str):
         return conv1d_gemm(x, w, stride, padding, dilation)
+    # no preferred_element_type upcast: the conv transpose rule rejects
+    # bf16 operands with fp32 cotangents (and TPU accumulates bf16 convs in
+    # fp32 internally regardless)
     return jax.lax.conv_general_dilated(
         x,
-        w,
+        w.astype(x.dtype),
         window_strides=(stride,),
         padding=_norm_padding(padding),
         rhs_dilation=(dilation,),
         dimension_numbers=("NWC", "WIO", "NWC"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
 
 
 def conv_transpose1d_gemm(x, w, stride: int, padding: int):
@@ -143,7 +145,7 @@ def conv_transpose1d(
     if _use_gemm_conv(x, w, 1) and stride > 1:
         return conv_transpose1d_gemm(x, w, stride, padding)
     k = w.shape[0]
-    w_flip = jnp.flip(w, axis=0)
+    w_flip = jnp.flip(w, axis=0).astype(x.dtype)
     return jax.lax.conv_general_dilated(
         x,
         w_flip,
@@ -151,8 +153,7 @@ def conv_transpose1d(
         padding=[(k - 1 - padding, k - 1 - padding)],
         lhs_dilation=(stride,),
         dimension_numbers=("NWC", "WIO", "NWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
 
 
 def _fan_in_uniform(fan_in: int):

@@ -115,9 +115,9 @@ def _xla_reference(x, w, bias, alpha, inv_beta, dilation, padding):
         xin = (x32 + 0.5 * inv_beta * (1.0 - jnp.cos(2.0 * alpha * x32))).astype(x.dtype)
     y = jax.lax.conv_general_dilated(
         xin, w.astype(x.dtype), (1,), [(padding, padding)], rhs_dilation=(dilation,),
-        dimension_numbers=("NWC", "WIO", "NWC"), preferred_element_type=jnp.float32,
+        dimension_numbers=("NWC", "WIO", "NWC"),
     )
-    return (y + bias.astype(jnp.float32)).astype(x.dtype)
+    return (y.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))

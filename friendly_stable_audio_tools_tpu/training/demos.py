@@ -138,6 +138,17 @@ class DiffusionCondDemoCallback(DemoCallback):
             state.ema_params if getattr(state, "ema_params", None) is not None else state.params["model"])
         try:
             out = self._out_dir(trainer, step)
+            # pretransform round-trip sanity check on a real batch
+            # (reference training/diffusion.py:559-588)
+            if batch is not None and model.pretransform is not None:
+                import jax.numpy as jnp
+
+                reals = np.asarray(batch[0])[:1]
+                latents = model.pretransform.encode(jnp.asarray(reals))
+                recon = np.asarray(model.pretransform.decode(latents))
+                write_wav(os.path.join(out, "pretransform_recon.wav"), self.sample_rate, recon[0])
+                trainer.logger.log_audio("demo/pretransform_recon", recon[0],
+                                         self.sample_rate, step=step)
             for cfg_scale in self.demo_cfg_scales:
                 audio = generate_diffusion_cond(
                     model, steps=self.demo_steps, cfg_scale=cfg_scale,

@@ -83,9 +83,12 @@ def test_diffusion_cond_demo_callback(tmp_path):
         demo_cfg_scales=[1, 3],
     )
     trainer = _Trainer(wrapper, tmp_path)
-    cb.on_step(trainer, state, 2, None)
+    reals = np.random.default_rng(0).standard_normal((1, 2, 256)).astype(np.float32) * 0.1
+    cb.on_step(trainer, state, 2, (reals, [{}]))
     files = _wavs(tmp_path, 2)
     assert any("cfg1" in f for f in files) and any("cfg3" in f for f in files)
+    # pretransform round-trip sanity wav (reference training/diffusion.py:559-588)
+    assert "pretransform_recon.wav" in files
 
 
 def test_diffusion_autoencoder_demo_callback(tmp_path):

@@ -161,10 +161,22 @@ class DiffusionCondTrainingWrapper:
 
     # ---- the pure step --------------------------------------------------
 
-    def train_step(self, state: TrainState, batch: dict, rng: jax.Array):
+    def train_step(self, state: TrainState, batch: dict, rng: jax.Array, accum: int = 1):
         """batch = {"reals": [B,T,C] (or latents if pre_encoded),
                     "cond": {id: {arrays}}, "padding_mask": [B,T] bool|None}.
-        Returns (new_state, metrics)."""
+        Returns (new_state, metrics).
+
+        `accum > 1` runs true gradient accumulation (PTL accumulate_grad_batches
+        parity, reference train.py:123): the batch's leading axis splits into
+        `accum` micro-batches processed by one `lax.scan` — peak activation
+        memory is a single micro-batch — with averaged grads and ONE optimizer
+        update."""
+        if accum > 1:
+            return self._train_step_accum(state, batch, rng, accum)
+        (loss, aux), grads = self._loss_and_grads(state.params, batch, rng, state.qmc_counter)
+        return self._apply_update(state, batch["reals"].shape[0], loss, aux, grads)
+
+    def _loss_and_grads(self, params_in, batch: dict, rng: jax.Array, qmc_counter):
         reals = batch["reals"]
         padding_mask = batch.get("padding_mask")
         b = reals.shape[0]
@@ -201,7 +213,7 @@ class DiffusionCondTrainingWrapper:
                 drop = jax.random.uniform(k_pdrop, ()) < self.mask_padding_dropout
                 mask = jnp.where(drop, jnp.ones_like(mask), mask)
 
-            t = draw_timesteps(self.timestep_sampler, b, state.qmc_counter, k_t)
+            t = draw_timesteps(self.timestep_sampler, b, qmc_counter, k_t)
             if self.diffusion_objective == "v":
                 alphas, sigmas = get_alphas_sigmas(t)
             elif self.diffusion_objective == "rectified_flow":
@@ -243,7 +255,9 @@ class DiffusionCondTrainingWrapper:
                 aux["loss_all"] = mse_all
             return loss, aux
 
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        return jax.value_and_grad(loss_fn, has_aux=True)(params_in)
+
+    def _apply_update(self, state: TrainState, n_samples: int, loss, aux, grads):
         updates, new_opt_state = self.tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_ema = state.ema_params
@@ -254,10 +268,45 @@ class DiffusionCondTrainingWrapper:
             opt_state=new_opt_state,
             ema_params=new_ema,
             step=state.step + 1,
-            qmc_counter=state.qmc_counter + jnp.uint32(reals.shape[0]),
+            qmc_counter=state.qmc_counter + jnp.uint32(n_samples),
         )
         metrics = {"loss": loss, **{k: v for k, v in aux.items() if not hasattr(v, "shape") or v.ndim == 0}}
         return new_state, metrics
+
+    def _train_step_accum(self, state: TrainState, batch: dict, rng: jax.Array, accum: int):
+        b = batch["reals"].shape[0]
+        assert b % accum == 0, f"batch {b} not divisible by accum_batches {accum}"
+        mb = b // accum
+
+        def split(x):
+            return x.reshape(accum, mb, *x.shape[1:]) if hasattr(x, "ndim") and x.ndim >= 1 else x
+
+        micro = jax.tree_util.tree_map(split, batch)
+
+        def body(carry, inp):
+            i, microbatch = inp
+            loss_acc, aux_acc, grads_acc = carry
+            k = jax.random.fold_in(rng, i)
+            (loss, aux), grads = self._loss_and_grads(
+                state.params, microbatch, k, state.qmc_counter + jnp.uint32(i) * jnp.uint32(mb))
+            return (
+                loss_acc + loss,
+                jax.tree_util.tree_map(jnp.add, aux_acc, aux),
+                jax.tree_util.tree_map(jnp.add, grads_acc, grads),
+            ), None
+
+        # one probe call shapes the aux accumulator; scan handles the rest
+        (l0, a0), g0 = self._loss_and_grads(state.params, jax.tree_util.tree_map(lambda x: x[0], micro),
+                                            jax.random.fold_in(rng, 0), state.qmc_counter)
+        init = (l0, a0, g0)
+        idx = jnp.arange(1, accum)
+        rest = jax.tree_util.tree_map(lambda x: x[1:], micro)
+        (loss_sum, aux_sum, grads_sum), _ = jax.lax.scan(body, init, (idx, rest))
+        inv = 1.0 / accum
+        loss = loss_sum * inv
+        aux = jax.tree_util.tree_map(lambda a: a * inv, aux_sum)
+        grads = jax.tree_util.tree_map(lambda g: g * inv, grads_sum)
+        return self._apply_update(state, b, loss, aux, grads)
 
     def prepare_batch(self, reals_bct: np.ndarray, metadata: tp.Sequence[dict]) -> dict:
         """Host-side: [B,C,T] numpy + metadata dicts -> device batch."""

@@ -186,6 +186,13 @@ class Trainer:
         if hasattr(self.wrapper, "_get_step_fn"):  # GAN wrapper host-dispatch
             return self.wrapper.train_step(state, batch, rng, step=step)
         if not hasattr(self, "_jitted"):
+            import functools
+            import inspect
+
             ts = self.wrapper.train_step
+            if self.accum_batches > 1 and "accum" in inspect.signature(ts).parameters:
+                # true grad accumulation: lax.scan over micro-batches inside
+                # the step (one micro-batch of activations at a time)
+                ts = functools.partial(ts, accum=self.accum_batches)
             self._jitted = jax.jit(ts, donate_argnums=(0,))
         return self._jitted(state, batch, rng)

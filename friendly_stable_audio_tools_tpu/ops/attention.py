@@ -95,15 +95,49 @@ def windowed_attention(
     transformer.py:479-493): each query attends to a `kernel_size` window
     centered on it (clamped at the edges, matching natten semantics).
 
-    Implemented as banded masking of full attention; for sequences where the
-    O(T^2) mask is too large, the Pallas flash kernel with band limits takes
-    over (TODO ops/pallas)."""
+    Short sequences use banded masking of full attention; long sequences use
+    a chunked formulation — queries in chunks of size C attend to their
+    chunk plus a (kernel_size-1) halo on each side — O(T * (C + 2k)) memory
+    instead of O(T^2)."""
     t = q.shape[-2]
+    if t <= 2048 or mask is not None:
+        half = kernel_size // 2
+        centers = jnp.clip(jnp.arange(t), half, t - 1 - half)
+        offsets = jnp.arange(t)
+        band = jnp.abs(offsets[None, :] - centers[:, None]) <= half
+        band = band[None, None]
+        if mask is not None:
+            band = jnp.logical_and(band, mask)
+        return _xla_attention(q, k, v, mask=band, causal=False)
+    return _chunked_windowed_attention(q, k, v, kernel_size)
+
+
+def _chunked_windowed_attention(q, k, v, kernel_size: int, chunk: int = 512):
+    b, h, t, d = q.shape
     half = kernel_size // 2
-    centers = jnp.clip(jnp.arange(t), half, t - 1 - half)
-    offsets = jnp.arange(t)
-    band = jnp.abs(offsets[None, :] - centers[:, None]) <= half
-    band = band[None, None]
-    if mask is not None:
-        band = jnp.logical_and(band, mask)
-    return _xla_attention(q, k, v, mask=band, causal=False)
+    halo = kernel_size - 1  # clamped edge windows reach up to k-1 one-sided
+    pad_t = (chunk - t % chunk) % chunk
+    n_c = (t + pad_t) // chunk
+    scale = 1.0 / (d ** 0.5)
+
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad_t), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (halo, pad_t + halo), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (halo, pad_t + halo), (0, 0)))
+
+    # [B, H, n_c, chunk, d] queries; [B, H, n_c, chunk + 2*halo, d] keys
+    qc = qp.reshape(b, h, n_c, chunk, d)
+    idx = (jnp.arange(n_c)[:, None] * chunk + jnp.arange(chunk + 2 * halo)[None, :])
+    kc = kp[:, :, idx, :]
+    vc = vp[:, :, idx, :]
+
+    logits = jnp.einsum("bhcid,bhcjd->bhcij", qc, kc,
+                        preferred_element_type=jnp.float32) * scale
+    # global positions: query chunk*c + i; key chunk*c + j - halo
+    qpos = jnp.arange(n_c)[:, None, None] * chunk + jnp.arange(chunk)[None, :, None]
+    kpos = jnp.arange(n_c)[:, None, None] * chunk + jnp.arange(chunk + 2 * halo)[None, None, :] - halo
+    centers = jnp.clip(qpos, half, t - 1 - half)
+    keep = (jnp.abs(kpos - centers) <= half) & (kpos >= 0) & (kpos < t)
+    logits = jnp.where(keep[None, None], logits, NEG_INF)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhcij,bhcjd->bhcid", probs, vc, preferred_element_type=jnp.float32)
+    return out.reshape(b, h, n_c * chunk, d)[:, :, :t].astype(q.dtype)

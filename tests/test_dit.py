@@ -147,3 +147,24 @@ def test_dit_two_pass_cfg_matches_batched():
     y_batched = m.apply(params, x, t, cross_attn_cond=cond, cfg_scale=3.0)
     y_two_pass = m.apply(params, x, t, cross_attn_cond=cond, cfg_scale=3.0, batch_cfg=False)
     np.testing.assert_allclose(np.asarray(y_batched), np.asarray(y_two_pass), atol=1e-5, rtol=1e-5)
+
+
+def test_chunked_windowed_attention_matches_banded():
+    """Long-sequence chunked windowed attention == O(T^2) banded reference."""
+    from friendly_stable_audio_tools_tpu.ops.attention import (
+        _chunked_windowed_attention, _xla_attention,
+    )
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    b, h, t, d = 1, 2, 700, 16
+    q = jnp.asarray(rng.randn(b, h, t, d), jnp.float32) * 0.4
+    k = jnp.asarray(rng.randn(b, h, t, d), jnp.float32) * 0.4
+    v = jnp.asarray(rng.randn(b, h, t, d), jnp.float32) * 0.4
+    for ks in (31, 65):
+        half = ks // 2
+        centers = jnp.clip(jnp.arange(t), half, t - 1 - half)
+        band = (jnp.abs(jnp.arange(t)[None, :] - centers[:, None]) <= half)[None, None]
+        ref = _xla_attention(q, k, v, mask=band)
+        got = _chunked_windowed_attention(q, k, v, ks, chunk=128)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)

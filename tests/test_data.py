@@ -220,3 +220,29 @@ def test_get_s3_shard_urls_parsing(monkeypatch):
         "pipe:aws s3 cp s3://bucket/data/train/shard-0000.tar -",
         "pipe:aws s3 cp s3://bucket/data/train/shard-0001.tar -",
     ]
+
+
+def test_generate_yaml_flatten_and_rank_sharding(tmp_path):
+    """generate.py prompt flattening + [rank::world] work sharding
+    (reference generate.py:38-50,119-120)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from generate import parse_cond_yaml
+
+    yml = tmp_path / "conds.yaml"
+    yml.write_text(
+        "techno:\n"
+        "  a:\n    prompt: deep techno\n    seconds_total: 30\n"
+        "  b:\n    prompt: acid techno\n    seconds_total: 20\n"
+        "jazz:\n"
+        "  solo:\n    piano:\n      prompt: jazz piano\n      seconds_total: 10\n"
+    )
+    conds = parse_cond_yaml(str(yml))
+    assert set(conds) == {"techno/a", "techno/b", "jazz/solo/piano"}
+    assert conds["jazz/solo/piano"]["prompt"] == "jazz piano"
+
+    paths = sorted(conds)
+    world = 2
+    shards = [paths[r::world] for r in range(world)]
+    assert sorted(sum(shards, [])) == paths
+    assert all(len(s) >= 1 for s in shards)

@@ -161,7 +161,19 @@ class DiffusionCondTrainingWrapper:
 
     # ---- the pure step --------------------------------------------------
 
-    def train_step(self, state: TrainState, batch: dict, rng: jax.Array, accum: int = 1):
+    def frozen_arrays(self) -> dict:
+        """Frozen (non-trainable) parameter trees the step consumes — passed
+        to train_step as ARGUMENTS so they become jit inputs rather than
+        giant HLO constants (an SAO VAE + T5 would otherwise bake >1 GB of
+        literals into every training compile)."""
+        out = {"cond": self.frozen_cond_params()}
+        pt = self.diffusion.pretransform
+        if pt is not None and getattr(pt, "model", None) is not None and not self.pre_encoded:
+            out["pretransform"] = pt.model.params
+        return out
+
+    def train_step(self, state: TrainState, batch: dict, rng: jax.Array, accum: int = 1,
+                   frozen: tp.Optional[dict] = None):
         """batch = {"reals": [B,T,C] (or latents if pre_encoded),
                     "cond": {id: {arrays}}, "padding_mask": [B,T] bool|None}.
         Returns (new_state, metrics).
@@ -170,19 +182,23 @@ class DiffusionCondTrainingWrapper:
         parity, reference train.py:123): the batch's leading axis splits into
         `accum` micro-batches processed by one `lax.scan` — peak activation
         memory is a single micro-batch — with averaged grads and ONE optimizer
-        update."""
+        update. `frozen` carries the frozen pretransform/conditioner params
+        (see `frozen_arrays`); None falls back to closure constants."""
         if accum > 1:
-            return self._train_step_accum(state, batch, rng, accum)
-        (loss, aux), grads = self._loss_and_grads(state.params, batch, rng, state.qmc_counter)
+            return self._train_step_accum(state, batch, rng, accum, frozen)
+        (loss, aux), grads = self._loss_and_grads(state.params, batch, rng, state.qmc_counter, frozen)
         return self._apply_update(state, batch["reals"].shape[0], loss, aux, grads)
 
-    def _loss_and_grads(self, params_in, batch: dict, rng: jax.Array, qmc_counter):
+    def _loss_and_grads(self, params_in, batch: dict, rng: jax.Array, qmc_counter,
+                        frozen: tp.Optional[dict] = None):
         reals = batch["reals"]
         padding_mask = batch.get("padding_mask")
         b = reals.shape[0]
         k_t, k_noise, k_cfg, k_sample, k_pdrop = jax.random.split(rng, 5)
 
-        frozen_cond = self.frozen_cond_params()
+        frozen = frozen or {}
+        frozen_cond = frozen.get("cond") or self.frozen_cond_params()
+        pretransform_params = frozen.get("pretransform")
 
         def loss_fn(params):
             # conditioner embeddings (trainable + frozen)
@@ -201,7 +217,8 @@ class DiffusionCondTrainingWrapper:
             mask = padding_mask
             if self.diffusion.pretransform is not None:
                 if not self.pre_encoded:
-                    diffusion_input = self.diffusion.pretransform.encode_nwc(diffusion_input)
+                    pt_kwargs = {"params": pretransform_params} if pretransform_params is not None else {}
+                    diffusion_input = self.diffusion.pretransform.encode_nwc(diffusion_input, **pt_kwargs)
                     if use_mask:
                         mask = _nearest_interp_mask(mask, diffusion_input.shape[1])
                 else:
@@ -273,7 +290,8 @@ class DiffusionCondTrainingWrapper:
         metrics = {"loss": loss, **{k: v for k, v in aux.items() if not hasattr(v, "shape") or v.ndim == 0}}
         return new_state, metrics
 
-    def _train_step_accum(self, state: TrainState, batch: dict, rng: jax.Array, accum: int):
+    def _train_step_accum(self, state: TrainState, batch: dict, rng: jax.Array, accum: int,
+                          frozen: tp.Optional[dict] = None):
         b = batch["reals"].shape[0]
         assert b % accum == 0, f"batch {b} not divisible by accum_batches {accum}"
         mb = b // accum
@@ -288,7 +306,8 @@ class DiffusionCondTrainingWrapper:
             loss_acc, aux_acc, grads_acc = carry
             k = jax.random.fold_in(rng, i)
             (loss, aux), grads = self._loss_and_grads(
-                state.params, microbatch, k, state.qmc_counter + jnp.uint32(i) * jnp.uint32(mb))
+                state.params, microbatch, k,
+                state.qmc_counter + jnp.uint32(i) * jnp.uint32(mb), frozen)
             return (
                 loss_acc + loss,
                 jax.tree_util.tree_map(jnp.add, aux_acc, aux),
@@ -297,7 +316,7 @@ class DiffusionCondTrainingWrapper:
 
         # one probe call shapes the aux accumulator; scan handles the rest
         (l0, a0), g0 = self._loss_and_grads(state.params, jax.tree_util.tree_map(lambda x: x[0], micro),
-                                            jax.random.fold_in(rng, 0), state.qmc_counter)
+                                            jax.random.fold_in(rng, 0), state.qmc_counter, frozen)
         init = (l0, a0, g0)
         idx = jnp.arange(1, accum)
         rest = jax.tree_util.tree_map(lambda x: x[1:], micro)

@@ -190,9 +190,17 @@ class Trainer:
             import inspect
 
             ts = self.wrapper.train_step
-            if self.accum_batches > 1 and "accum" in inspect.signature(ts).parameters:
+            sig = inspect.signature(ts).parameters
+            if self.accum_batches > 1 and "accum" in sig:
                 # true grad accumulation: lax.scan over micro-batches inside
                 # the step (one micro-batch of activations at a time)
                 ts = functools.partial(ts, accum=self.accum_batches)
+            self._frozen = None
+            if "frozen" in sig and hasattr(self.wrapper, "frozen_arrays"):
+                # frozen pretransform/conditioner params ride as jit ARGUMENTS,
+                # not HLO constants (a frozen SAO VAE + T5 is >1 GB of weights)
+                self._frozen = jax.tree_util.tree_map(jnp.asarray, self.wrapper.frozen_arrays())
             self._jitted = jax.jit(ts, donate_argnums=(0,))
+        if self._frozen is not None:
+            return self._jitted(state, batch, rng, frozen=self._frozen)
         return self._jitted(state, batch, rng)

@@ -49,14 +49,23 @@ class DiffusionAutoencoderTrainingWrapper:
 
         return {"reals": jnp.asarray(np.asarray(reals_bct).transpose(0, 2, 1))}
 
-    def train_step(self, state: TrainState, batch: dict, rng: jax.Array):
+    def frozen_arrays(self) -> dict:
+        pt = self.diffae.pretransform
+        if pt is not None and getattr(pt, "model", None) is not None:
+            return {"pretransform": pt.model.params}
+        return {}
+
+    def train_step(self, state: TrainState, batch: dict, rng: jax.Array,
+                   frozen: tp.Optional[dict] = None):
         reals = batch["reals"]  # [B, T, C]
         k_t, k_noise, k_sample = jax.random.split(rng, 3)
+        pt_kwargs = ({"params": frozen["pretransform"]}
+                     if frozen and frozen.get("pretransform") is not None else {})
 
         def loss_fn(params):
             diffusion_input = reals
             if self.diffae.pretransform is not None:
-                diffusion_input = self.diffae.pretransform.encode_nwc(reals)
+                diffusion_input = self.diffae.pretransform.encode_nwc(reals, **pt_kwargs)
 
             latents, _ = self.diffae.module.apply(
                 {"params": params["ae"]}, reals, return_info=True, method="encode",

@@ -39,9 +39,12 @@ class DiffusionPriorTrainingWrapper(DiffusionCondTrainingWrapper):
                                                    sample_rate=model.sample_rate,
                                                    perceptual_weighting=True)
 
-    def train_step(self, state: TrainState, batch: dict, rng: jax.Array):
+    def train_step(self, state: TrainState, batch: dict, rng: jax.Array,
+                   frozen: tp.Optional[dict] = None):
         reals = batch["reals"]  # [B, T, 2] stereo target
         k_t, k_noise, k_sample = jax.random.split(rng, 3)
+        pt_kwargs = ({"params": frozen["pretransform"]}
+                     if frozen and frozen.get("pretransform") is not None else {})
 
         def loss_fn(params):
             # dual-mono source (reference :1316-1327)
@@ -49,8 +52,8 @@ class DiffusionPriorTrainingWrapper(DiffusionCondTrainingWrapper):
             diffusion_input = reals
             source_input = source
             if self.diffusion.pretransform is not None and not self.pre_encoded:
-                diffusion_input = self.diffusion.pretransform.encode_nwc(reals)
-                source_input = self.diffusion.pretransform.encode_nwc(source)
+                diffusion_input = self.diffusion.pretransform.encode_nwc(reals, **pt_kwargs)
+                source_input = self.diffusion.pretransform.encode_nwc(source, **pt_kwargs)
 
             cond_tensors = {"source": (source_input, jnp.ones(source_input.shape[:2], bool))}
             cond_inputs = self.diffusion.get_conditioning_inputs(cond_tensors)
@@ -71,7 +74,7 @@ class DiffusionPriorTrainingWrapper(DiffusionCondTrainingWrapper):
             if self.use_reconstruction_loss:
                 pred_x0 = noised * alphas - output * sigmas
                 if self.diffusion.pretransform is not None:
-                    pred_audio = self.diffusion.pretransform.decode_nwc(pred_x0)
+                    pred_audio = self.diffusion.pretransform.decode_nwc(pred_x0, **pt_kwargs)
                 else:
                     pred_audio = pred_x0
                 recon = self.sdstft(pred_audio.transpose(0, 2, 1), reals.transpose(0, 2, 1))

@@ -84,15 +84,27 @@ class AudioLanguageModelTrainingWrapper:
             batch["padding_mask"] = jnp.asarray(pm.astype(bool))
         return batch
 
-    def train_step(self, state: TrainState, batch: dict, rng: jax.Array):
+    def frozen_arrays(self) -> dict:
+        """Frozen param trees passed as jit arguments (not HLO constants)."""
+        out = {"cond": self.frozen_cond_params()}
+        pt = self.lm.pretransform
+        if pt is not None and getattr(pt, "model", None) is not None and not self.pre_encoded:
+            out["pretransform"] = pt.model.params
+        return out
+
+    def train_step(self, state: TrainState, batch: dict, rng: jax.Array,
+                   frozen: tp.Optional[dict] = None):
         reals = batch["reals"]  # [B, T, C] audio or [B, T, K] codes if pre_encoded
         padding_mask = batch.get("padding_mask")
         k_cfg, k_sample = jax.random.split(rng)
-        frozen_cond = self.frozen_cond_params()
+        frozen = frozen or {}
+        frozen_cond = frozen.get("cond") or self.frozen_cond_params()
+        pt_kwargs = ({"params": frozen["pretransform"]}
+                     if frozen.get("pretransform") is not None else {})
 
         # tokenize outside grad (frozen pretransform; reference :119-122)
         if not self.pre_encoded:
-            codes = self.lm.pretransform.tokenize(reals.transpose(0, 2, 1))  # [B, T', K]
+            codes = self.lm.pretransform.tokenize(reals.transpose(0, 2, 1), **pt_kwargs)  # [B, T', K]
         else:
             codes = reals.astype(jnp.int32)
         codes = jax.lax.stop_gradient(jnp.asarray(codes)).astype(jnp.int32)

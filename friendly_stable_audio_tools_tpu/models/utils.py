@@ -49,7 +49,10 @@ def save_ckpt_state_dict(params, path: str) -> None:
     from ..utils.common import _flatten_dict
 
     flat = _flatten_dict(params) if isinstance(params, dict) else dict(params)
-    flat = {k: np.asarray(v) for k, v in flat.items()}
+    # ascontiguousarray: safetensors serializes the raw buffer, so transposed
+    # (non-contiguous) views — e.g. torch->JAX converted kernels — would be
+    # written with wrong element order otherwise.
+    flat = {k: np.ascontiguousarray(np.asarray(v)) for k, v in flat.items()}
     save_file(flat, path)
 
 

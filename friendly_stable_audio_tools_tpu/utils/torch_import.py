@@ -225,6 +225,24 @@ def convert_t5_encoder(sd: dict, prefix: str = "") -> dict:
     return out
 
 
+def convert_checkpoint(ckpt_path: str, model_config_path: str, out_path: str) -> None:
+    """One-shot CLI-friendly converter: PyTorch unwrapped checkpoint
+    (.safetensors / .ckpt) + model_config.json -> JAX-native safetensors
+    (flat '/'-joined keys) loadable by generate.py --ckpt-path and
+    get_pretrained_model (as `model.jax.safetensors`)."""
+    import json
+
+    from ..models.factory import create_model_from_config
+    from ..models.utils import save_ckpt_state_dict
+
+    with open(model_config_path) as f:
+        model_config = json.load(f)
+    model = create_model_from_config(model_config)
+    load_torch_checkpoint_into_model(model, ckpt_path, model_config)
+    save_ckpt_state_dict(model.params, out_path)
+    print(f"Converted {ckpt_path} -> {out_path}")
+
+
 def load_torch_checkpoint_into_model(model, ckpt_path: str, model_config: dict) -> None:
     """Load a reference-format unwrapped checkpoint into a built model."""
     from ..models.utils import load_ckpt_state_dict

@@ -181,3 +181,50 @@ def test_t5_conversion_structure():
     conv_flat = _flatten_dict(converted)
     missing = set(flat) - set(conv_flat)
     assert not missing, sorted(missing)
+
+
+def test_convert_checkpoint_end_to_end(tmp_path):
+    """convert_checkpoint: torch safetensors + model_config.json ->
+    JAX safetensors whose encoder weights round-trip numerically."""
+    from safetensors.numpy import save_file
+
+    from friendly_stable_audio_tools_tpu.utils.torch_import import convert_checkpoint
+    from friendly_stable_audio_tools_tpu.models.utils import load_ckpt_state_dict
+
+    torch.manual_seed(1)
+    tenc = build_torch_oobleck_encoder(in_ch=2, channels=4, c_mults=(1, 2), strides=(2, 4), latent=8)
+    sd = {f"encoder.{k}": v.detach().numpy() for k, v in tenc.state_dict().items()}
+    torch_path = str(tmp_path / "model.safetensors")
+    save_file(sd, torch_path)
+
+    model_config = {
+        "model_type": "autoencoder",
+        "sample_size": 64,
+        "sample_rate": 16000,
+        "audio_channels": 2,
+        "model": {
+            "encoder": {"type": "oobleck", "config": {
+                "in_channels": 2, "channels": 4, "c_mults": [1, 2], "strides": [2, 4],
+                "latent_dim": 8, "use_snake": True}},
+            "decoder": {"type": "oobleck", "config": {
+                "out_channels": 2, "channels": 4, "c_mults": [1, 2], "strides": [2, 4],
+                "latent_dim": 4, "use_snake": True}},
+            "bottleneck": {"type": "vae"},
+            "latent_dim": 4, "downsampling_ratio": 8, "io_channels": 2,
+        },
+        "training": {},
+    }
+    import json as _json
+    cfg_path = str(tmp_path / "model_config.json")
+    with open(cfg_path, "w") as f:
+        _json.dump(model_config, f)
+
+    out_path = str(tmp_path / "model.jax.safetensors")
+    convert_checkpoint(torch_path, cfg_path, out_path)
+
+    flat = load_ckpt_state_dict(out_path)
+    # encoder conv_in weight-norm v must match the torch tensor exactly
+    v_torch = sd["encoder.layers.0.weight_v"].transpose(2, 1, 0)
+    np.testing.assert_array_equal(flat["encoder/conv_in/v"], v_torch)
+    # decoder keys exist (left at init since the sd had no decoder)
+    assert any(k.startswith("decoder/") for k in flat)

@@ -135,6 +135,31 @@ class Attention(nn.Module):
             k, v = jnp.split(kv, 2, axis=-1)
         else:
             qkv = nn.Dense(self.dim * 3, use_bias=False, param_dtype=jnp.float32, name="to_qkv")(x)
+
+            # Fused qkv-layout + rope + flash-attention fast path (the DiT
+            # denoise hot loop): skips the head split/merge transposes and
+            # the fp32 rope HBM round trips (ops/pallas/flash_attention.py).
+            import os as _os
+
+            resolved_causal = self.causal if causal is None else causal
+            if (
+                rotary_pos_emb is not None
+                and mask is None
+                and kv_cache is None
+                and not return_kv
+                and not self.qk_norm
+                and self.natten_kernel_size is None
+                and not resolved_causal
+                and _os.environ.get("FSAT_DISABLE_FUSED_ATTN") != "1"
+            ):
+                from ..ops.pallas.flash_attention import fused_qkv_rope_attention
+
+                out = fused_qkv_rope_attention(qkv, rotary_pos_emb, h)
+                kinit = (nn.initializers.zeros if self.zero_init_output
+                         else nn.initializers.lecun_normal())
+                return nn.Dense(self.dim, use_bias=False, kernel_init=kinit,
+                                param_dtype=jnp.float32, name="to_out")(out)
+
             q, k, v = jnp.split(qkv, 3, axis=-1)
 
         q = split_heads(q, h)

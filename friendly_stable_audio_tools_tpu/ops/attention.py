@@ -53,7 +53,7 @@ def scaled_dot_product_attention(
             os.environ.get("FSAT_DISABLE_PALLAS_ATTN") != "1"
             and jax.default_backend() not in ("cpu",)
             and q.shape[-2] >= 1024
-            and q.shape[-2] == k.shape[-2]
+            and (q.shape[-2] == k.shape[-2] or not causal)
             and mask is None
             and q.shape[-1] <= 128
         )

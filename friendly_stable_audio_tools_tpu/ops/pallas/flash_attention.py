@@ -52,14 +52,29 @@ SINGLE_DOT_MAX_TK = 8192
 NEG_INF = -1e30
 
 
-def _single_dot_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float, kv_len: int,
-                       save_stats: bool):
+def _apply_rope_tile(t_ref, c_ref, s_ref, p_ref):
+    """Reference partial rotary (transformer.py:164-183) on a VMEM tile:
+    rope(t) = t*C + (t @ P)*S with P the rotate-half matrix and C/S cos/sin
+    tables padded to identity over the non-rotary tail. The rotate-half dot
+    runs in bf16 — P is a +-1 permutation so the product is EXACT for bf16
+    inputs and stays on the MXU's single-pass mode (an fp32 dot here would
+    triple the pass count); the cos/sin combine is fp32 like the reference.
+    Returns bf16 for the MXU score dot."""
+    t = t_ref[:]
+    rot = jax.lax.dot(t.astype(jnp.bfloat16), p_ref[:].astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+    t = t.astype(jnp.float32) * c_ref[:] + rot * s_ref[:]
+    return t.astype(jnp.bfloat16)
+
+
+def _single_dot_core(q, k, v_ref, o_ref, lse_ref, *, scale: float, kv_len: int,
+                     save_stats: bool):
     """Whole-K attention for one q block: one score dot, exact softmax,
     normalization on the output."""
     s = jax.lax.dot_general(
-        q_ref[:], k_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
-    if kv_len < k_ref.shape[0]:
+    if kv_len < k.shape[0]:
         kpos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(kpos < kv_len, s, NEG_INF)
     m = jnp.max(s, axis=1, keepdims=True)
@@ -72,6 +87,23 @@ def _single_dot_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float, kv_
     o_ref[:] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
     if save_stats:
         lse_ref[:] = jnp.broadcast_to(m + jnp.log(jnp.maximum(l, 1e-30)), lse_ref.shape)
+
+
+def _single_dot_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float, kv_len: int,
+                       save_stats: bool):
+    _single_dot_core(q_ref[:], k_ref[:], v_ref, o_ref, lse_ref,
+                     scale=scale, kv_len=kv_len, save_stats=save_stats)
+
+
+def _single_dot_rope_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
+                            p_ref, o_ref, lse_ref, *, scale: float, kv_len: int,
+                            save_stats: bool):
+    """Single-dot attention with the reference's fp32 partial rotary applied
+    to q/k on the VMEM tiles (saves the separate rope HBM round trips)."""
+    q = _apply_rope_tile(q_ref, cq_ref, sq_ref, p_ref)
+    k = _apply_rope_tile(k_ref, ck_ref, sk_ref, p_ref)
+    _single_dot_core(q, k, v_ref, o_ref, lse_ref,
+                     scale=scale, kv_len=kv_len, save_stats=save_stats)
 
 
 def _online_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int, causal: bool,
@@ -124,13 +156,30 @@ def _online_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int, causal:
 STAT_LANES = 128  # lse stored broadcast over one lane tile (layout-friendly)
 
 
+def _pick_block_q(t_q: int, block_q: int, single_dot: bool) -> int:
+    """Pick the q block minimizing pad waste (the DiT's prepend tokens make
+    t_q = latent_len + 2, never 128-aligned; a fixed 256 block pads 1026 ->
+    1280 = +25% attention FLOPs)."""
+    if t_q <= 128:
+        return (t_q + 7) // 8 * 8
+    if not single_dot:
+        return block_q
+    cands = (512, 384, 256, 128)
+    return min(cands, key=lambda b: ((-t_q) % b, -b))
+
+
 def _flash_forward(q, k, v, causal: bool, block_q: int, block_k: int,
-                   save_stats: bool = False):
+                   save_stats: bool = False, freqs=None):
     bh, t_q, d = q.shape
     t_k = k.shape[1]
     scale = 1.0 / math.sqrt(d)
 
     single_dot = (not causal) and t_k <= SINGLE_DOT_MAX_TK
+    block_q = _pick_block_q(t_q, block_q, single_dot)
+    if single_dot and t_q <= 2048 and t_k <= 1536 and t_q > 128:
+        # one program per (batch*head) when the score tile fits VMEM: fewer
+        # per-program fixed costs, and the fused-rope variant ropes K once
+        block_q = (t_q + 127) // 128 * 128
 
     # pad to block multiples
     pq = (block_q - t_q % block_q) % block_q
@@ -145,7 +194,17 @@ def _flash_forward(q, k, v, causal: bool, block_q: int, block_k: int,
 
     t_qp, t_kp = q.shape[1], k.shape[1]
 
-    if single_dot:
+    use_rope = freqs is not None
+    if use_rope:
+        assert single_dot, "fused rope requires the single-dot path"
+        cos, sin, p_mat = _rope_tables(freqs, d, t_q)
+        cos_q = jnp.pad(cos, ((0, t_qp - t_q), (0, 0)), constant_values=1.0)
+        sin_q = jnp.pad(sin, ((0, t_qp - t_q), (0, 0)))
+        cos_k = jnp.pad(cos, ((0, t_kp - t_q), (0, 0)), constant_values=1.0)
+        sin_k = jnp.pad(sin, ((0, t_kp - t_q), (0, 0)))
+        kernel = functools.partial(_single_dot_rope_kernel, scale=scale, kv_len=t_k,
+                                   save_stats=save_stats)
+    elif single_dot:
         kernel = functools.partial(_single_dot_kernel, scale=scale, kv_len=t_k,
                                    save_stats=save_stats)
     else:
@@ -161,18 +220,30 @@ def _flash_forward(q, k, v, causal: bool, block_q: int, block_k: int,
         out_specs.append(pl.BlockSpec((None, block_q, STAT_LANES), lambda b, i: (b, i, 0)))
         out_shape.append(jax.ShapeDtypeStruct((bh, t_qp, STAT_LANES), jnp.float32))
 
+    in_specs = [
+        pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0)),
+        pl.BlockSpec((None, t_kp, d), lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((None, t_kp, d), lambda b, i: (b, 0, 0)),
+    ]
+    args = [q, k, v]
+    if use_rope:
+        in_specs += [
+            pl.BlockSpec((block_q, d), lambda b, i: (i, 0)),
+            pl.BlockSpec((block_q, d), lambda b, i: (i, 0)),
+            pl.BlockSpec((t_kp, d), lambda b, i: (0, 0)),
+            pl.BlockSpec((t_kp, d), lambda b, i: (0, 0)),
+            pl.BlockSpec((d, d), lambda b, i: (0, 0)),
+        ]
+        args += [cos_q, sin_q, cos_k, sin_k, p_mat]
+
     res = pl.pallas_call(
         kernel,
         grid=(bh, t_qp // block_q),
         interpret=_interpret(),
-        in_specs=[
-            pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((None, t_kp, d), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((None, t_kp, d), lambda b, i: (b, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-    )(q, k, v)
+    )(*args)
 
     out = res[0]
     if pq:
@@ -357,15 +428,159 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
 def flash_attention(q, k, v, causal: bool = False,
-                    block_q: int = DEFAULT_BLOCK_Q, block_k: int = DEFAULT_BLOCK_K):
-    """q/k/v: [B, H, T, D] -> [B, H, T, D]. Self-attention (Tq == Tk), no
-    padding mask (the DiT inference path guarantees this; ops/attention.py
-    falls back to the XLA path otherwise)."""
+                    block_q: int = DEFAULT_BLOCK_Q, block_k: int = DEFAULT_BLOCK_K,
+                    freqs=None):
+    """q/k/v: [B, H, Tq, D] / [B, H, Tk, D] -> [B, H, Tq, D]. Supports
+    rectangular (cross) attention when not causal — short Tk (e.g. the DiT's
+    ~130 cond tokens) is padded to lane alignment and masked via kv_len
+    inside the kernel. `freqs` ([T', rot_dim] rotary angles, self-attention
+    only) fuses the reference's fp32 partial rotary into the kernel. No
+    padding mask (the DiT drops cross-attn masks for parity with the
+    reference, dit.py:250-252; ops/attention.py falls back to the XLA path
+    otherwise)."""
     b, h, t, d = q.shape
+    t_k = k.shape[2]
+    assert t == t_k or not causal, "causal rectangular attention unsupported"
     bq = min(block_q, (t + 7) // 8 * 8)
-    bk = min(block_k, (t + 7) // 8 * 8)
+    bk = min(block_k, (t_k + 7) // 8 * 8)
     qf = q.reshape(b * h, t, d)
-    kf = k.reshape(b * h, t, d)
-    vf = v.reshape(b * h, t, d)
-    out = _flash(qf, kf, vf, causal, bq, bk)
+    kf = k.reshape(b * h, t_k, d)
+    vf = v.reshape(b * h, t_k, d)
+    if freqs is not None:
+        assert t == t_k and not causal, "fused rope is for full self-attention"
+        if t > 2048:
+            # long sequences grid over many q blocks; in-kernel K-rope would
+            # be recomputed per block — rope outside instead
+            qf = _rope_outside(qf, freqs)
+            kf = _rope_outside(kf, freqs)
+            out = _flash(qf, kf, vf, causal, bq, bk)
+        else:
+            out = _flash_rope(qf, kf, vf, freqs, causal, bq, bk)
+    else:
+        out = _flash(qf, kf, vf, causal, bq, bk)
     return out.reshape(b, h, t, d)
+
+
+# ---------------------------------------------------------------------------
+# rope-fused flash attention (the DiT self-attention hot path)
+# ---------------------------------------------------------------------------
+#
+# The DiT hot loop computes qkv -> split -> head transposes -> fp32 rope over
+# q and k -> flash attention. The rope pass alone is several HBM round trips
+# over [B,H,T,D] fp32 tensors per layer (~2-3 ms of the 35 ms denoise step at
+# SAO shapes). `flash_attention(..., freqs=...)` applies the reference's fp32
+# partial rotary (transformer.py:164-183) on the q/k tiles in VMEM instead —
+# rotate_half expressed as a tiny [D, D] matmul so the lane dim stays
+# MXU-aligned — for zero extra HBM traffic. Training backward falls back to
+# rope-outside + the standard FA2 backward kernels (one extra rope pass).
+
+
+def _rope_tables(freqs, head_dim: int, t: int):
+    """cos/sin tables for the LAST t positions of `freqs`, padded to head_dim
+    (identity over the non-rotary tail), plus the rotate-half matrix P with
+    rotate_half(x) == x @ P (within the rotary dims; zero elsewhere)."""
+    import numpy as np
+
+    rot = freqs.shape[-1]
+    f = freqs[-t:, :].astype(jnp.float32)
+    cos = jnp.concatenate([jnp.cos(f), jnp.ones((t, head_dim - rot), jnp.float32)], axis=-1)
+    sin = jnp.concatenate([jnp.sin(f), jnp.zeros((t, head_dim - rot), jnp.float32)], axis=-1)
+    p = np.zeros((head_dim, head_dim), np.float32)
+    half = rot // 2
+    for j in range(half):
+        p[j + half, j] = -1.0  # out[:half] = -x[half:rot]
+        p[j, j + half] = 1.0   # out[half:rot] = x[:half]
+    return cos, sin, jnp.asarray(p)
+
+
+def _rope_outside(x, freqs):
+    """Plain-JAX rope identical to the kernel's (and the reference's) math;
+    used by the training backward."""
+    from ..embeddings import apply_rotary_pos_emb
+
+    return apply_rotary_pos_emb(x, freqs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash_rope(q, k, v, freqs, causal, block_q, block_k):
+    return _flash_forward(q, k, v, causal, block_q, block_k, freqs=freqs)
+
+
+def _flash_rope_fwd(q, k, v, freqs, causal, block_q, block_k):
+    # training path: materialize roped q/k so the FA2 backward kernels (which
+    # recompute scores from their inputs) see the post-rope tensors
+    qr = _rope_outside(q, freqs)
+    kr = _rope_outside(k, freqs)
+    out, lse = _flash_forward(qr, kr, v, causal, block_q, block_k, save_stats=True)
+    return out, (qr, kr, v, out, lse, freqs)
+
+
+def _flash_rope_bwd(causal, block_q, block_k, res, g):
+    qr, kr, v, out, lse, freqs = res
+    dqr, dkr, dv = _flash_backward(qr, kr, v, out, lse, g, causal, block_q, block_k)
+    # rope is linear: y = x*C + (x@P)*S  =>  dx = dy*C + (dy*S) @ P^T
+    d = qr.shape[-1]
+    t = qr.shape[-2]
+    cos, sin, p = _rope_tables(freqs, d, t)
+    pt = p.T
+
+    def unrope(dy):
+        dy32 = dy.astype(jnp.float32)
+        dx = dy32 * cos + (dy32 * sin) @ pt
+        return dx.astype(dy.dtype)
+
+    return unrope(dqr), unrope(dkr), dv, jnp.zeros_like(freqs)
+
+
+_flash_rope.defvjp(_flash_rope_fwd, _flash_rope_bwd)
+
+
+def _use_xla_fallback(t: int) -> bool:
+    return jax.default_backend() == "cpu" and not _interpret()
+
+
+def fused_qkv_rope_attention(qkv, freqs, num_heads: int,
+                             block_q: int = DEFAULT_BLOCK_Q):
+    """qkv: [B, T, 3*H*D] (fused Dense output, q|k|v concatenated),
+    freqs: [T', rot_dim] rotary angles (last T rows used) -> [B, T, H*D].
+
+    Non-causal full self-attention with the reference's fp32 partial rotary
+    fused into the attention kernel (no separate rope HBM pass)."""
+    b, t, three_hd = qkv.shape
+    d = three_hd // (3 * num_heads)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(x):
+        return x.reshape(b, t, num_heads, d).transpose(0, 2, 1, 3)
+
+    q, k, v = heads(q), heads(k), heads(v)
+    if _use_xla_fallback(t) or t > SINGLE_DOT_MAX_TK:
+        q = _rope_outside(q, freqs)
+        k = _rope_outside(k, freqs)
+        out = _xla_reference(
+            q.reshape(b * num_heads, t, d), k.reshape(b * num_heads, t, d),
+            v.reshape(b * num_heads, t, d), False).reshape(b, num_heads, t, d)
+    else:
+        out = flash_attention(q, k, v, freqs=freqs, block_q=block_q)
+    return out.transpose(0, 2, 1, 3).reshape(b, t, num_heads * d)
+
+
+def _fused_reference(qkv, freqs, num_heads: int):
+    """Unfused reference (rope outside the kernel) for parity tests."""
+    b, t, three_hd = qkv.shape
+    d = three_hd // (3 * num_heads)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(x):
+        return x.reshape(b, t, num_heads, d).transpose(0, 2, 1, 3)
+
+    q, k, v = heads(q), heads(k), heads(v)
+    q = _rope_outside(q, freqs)
+    k = _rope_outside(k, freqs)
+    if _use_xla_fallback(t):
+        out = _xla_reference(
+            q.reshape(b * num_heads, t, d), k.reshape(b * num_heads, t, d),
+            v.reshape(b * num_heads, t, d), False).reshape(b, num_heads, t, d)
+    else:
+        out = flash_attention(q, k, v)
+    return out.transpose(0, 2, 1, 3).reshape(b, t, num_heads * d)

@@ -119,3 +119,82 @@ def test_flash_attention_long_seq_online_path():
     ref = fa._xla_reference(q.reshape(B * H, L, D), q.reshape(B * H, L, D),
                             q.reshape(B * H, L, D), False).reshape(B, H, L, D)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-3)
+
+
+def test_fused_qkv_rope_attention_matches_reference():
+    """Fused qkv-layout + rope + attention kernel == unfused split/rope/attn."""
+    from friendly_stable_audio_tools_tpu.ops.pallas.flash_attention import (
+        fused_qkv_rope_attention, _fused_reference,
+    )
+    from friendly_stable_audio_tools_tpu.ops.embeddings import rotary_freqs
+
+    rng = np.random.RandomState(0)
+    b, t, h, d = 2, 256, 4, 64
+    qkv = jnp.asarray(rng.randn(b, t, 3 * h * d), jnp.float32) * 0.3
+    freqs = rotary_freqs(t, 32)
+
+    got = fused_qkv_rope_attention(qkv, freqs, h)
+    ref = _fused_reference(qkv, freqs, h)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-3)
+
+
+def test_fused_qkv_rope_attention_grad():
+    """custom_vjp backward (reference recompute) matches autodiff of the
+    reference path."""
+    from friendly_stable_audio_tools_tpu.ops.pallas.flash_attention import (
+        fused_qkv_rope_attention, _fused_reference,
+    )
+    from friendly_stable_audio_tools_tpu.ops.embeddings import rotary_freqs
+
+    rng = np.random.RandomState(1)
+    b, t, h, d = 1, 128, 2, 64
+    qkv = jnp.asarray(rng.randn(b, t, 3 * h * d), jnp.float32) * 0.3
+    freqs = rotary_freqs(t, 32)
+
+    g1 = jax.grad(lambda x: jnp.sum(fused_qkv_rope_attention(x, freqs, h) ** 2))(qkv)
+    g2 = jax.grad(lambda x: jnp.sum(_fused_reference(x, freqs, h) ** 2))(qkv)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=3e-3)
+
+
+def test_attention_module_fused_path_matches_unfused(monkeypatch):
+    """models/transformer.py Attention: fused fast path == unfused path."""
+    from friendly_stable_audio_tools_tpu.models.transformer import Attention
+    from friendly_stable_audio_tools_tpu.ops.embeddings import rotary_freqs
+
+    rng = np.random.RandomState(2)
+    b, t, dim = 1, 256, 128
+    x = jnp.asarray(rng.randn(b, t, dim), jnp.float32) * 0.3
+    freqs = rotary_freqs(t, 16)
+
+    attn = Attention(dim, dim_heads=64, zero_init_output=False)
+    params = attn.init(jax.random.PRNGKey(0), x, rotary_pos_emb=freqs)
+
+    fused = attn.apply(params, x, rotary_pos_emb=freqs)
+    monkeypatch.setenv("FSAT_DISABLE_FUSED_ATTN", "1")
+    unfused = attn.apply(params, x, rotary_pos_emb=freqs)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(unfused), atol=2e-3)
+
+
+def test_flash_attention_rectangular_cross():
+    """Rectangular flash attention (Tk != Tq, e.g. 130 cond tokens) matches
+    the XLA reference, forward and grad."""
+    from friendly_stable_audio_tools_tpu.ops.pallas.flash_attention import (
+        flash_attention, _xla_reference,
+    )
+
+    rng = np.random.RandomState(3)
+    b, h, tq, tk, d = 1, 2, 256, 130, 64
+    q = jnp.asarray(rng.randn(b, h, tq, d), jnp.float32) * 0.3
+    k = jnp.asarray(rng.randn(b, h, tk, d), jnp.float32) * 0.3
+    v = jnp.asarray(rng.randn(b, h, tk, d), jnp.float32) * 0.3
+
+    got = flash_attention(q, k, v)
+    ref = _xla_reference(q.reshape(b * h, tq, d), k.reshape(b * h, tk, d),
+                         v.reshape(b * h, tk, d), False).reshape(b, h, tq, d)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-3)
+
+    gk1 = jax.grad(lambda k_: jnp.sum(flash_attention(q, k_, v) ** 2))(k)
+    gk2 = jax.grad(lambda k_: jnp.sum(_xla_reference(
+        q.reshape(b * h, tq, d), k_.reshape(b * h, tk, d),
+        v.reshape(b * h, tk, d), False) ** 2))(k)
+    np.testing.assert_allclose(np.asarray(gk1), np.asarray(gk2), atol=3e-3)

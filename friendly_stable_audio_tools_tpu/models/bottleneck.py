@@ -153,6 +153,11 @@ class VectorQuantizer(nn.Module):
     input_dim: int
     codebook_size: int
     codebook_dim: int
+    # DAC-style cosine assignment (dac.nn.quantize.VectorQuantize.decode_latents):
+    # nearest neighbor computed between L2-NORMALIZED z_e and codebook, but the
+    # dequantized value is the RAW codebook entry. Needed for pretrained DAC
+    # weight parity (reference pretransforms.py:136-195 wraps that quantizer).
+    normalize: bool = False
 
     def setup(self):
         self.needs_proj = self.input_dim != self.codebook_dim
@@ -170,9 +175,14 @@ class VectorQuantizer(nn.Module):
         z_e = self.proj_in(x) if self.needs_proj else x
         ze32 = z_e.astype(jnp.float32)
         codebook = self.codebook
+        if self.normalize:
+            ze_a = _l2_normalize(ze32)
+            cb_a = _l2_normalize(codebook)
+        else:
+            ze_a, cb_a = ze32, codebook
         # L2 distance via expansion; argmin over codebook (one [BT,C]x[C,K] matmul)
-        dots = jnp.einsum("btc,kc->btk", ze32, codebook)
-        d = jnp.sum(ze32**2, -1, keepdims=True) - 2 * dots + jnp.sum(codebook**2, -1)
+        dots = jnp.einsum("btc,kc->btk", ze_a, cb_a)
+        d = jnp.sum(ze_a**2, -1, keepdims=True) - 2 * dots + jnp.sum(cb_a**2, -1)
         codes = jnp.argmin(d, axis=-1)  # [B, T]
         z_q = codebook[codes]  # [B, T, Cd]
 
@@ -198,11 +208,13 @@ class ResidualVQ(nn.Module):
     codebook_size: int
     codebook_dim: tp.Optional[int] = None
     quantizer_dropout: float = 0.0
+    normalize: bool = False
 
     def setup(self):
         cd = self.codebook_dim or self.input_dim
         self.quantizers = [
-            VectorQuantizer(self.input_dim, self.codebook_size, cd, name=f"quantizer_{i}")
+            VectorQuantizer(self.input_dim, self.codebook_size, cd,
+                            normalize=self.normalize, name=f"quantizer_{i}")
             for i in range(self.num_quantizers)
         ]
 
@@ -310,6 +322,7 @@ class DACRVQBottleneck(DiscreteBottleneck):
             num_quantizers=self.n_codebooks,
             codebook_size=self.codebook_size,
             codebook_dim=self.codebook_dim,
+            normalize=True,
         )
 
     @property
@@ -356,6 +369,7 @@ class DACRVQVAEBottleneck(DiscreteBottleneck):
             num_quantizers=self.n_codebooks,
             codebook_size=self.codebook_size,
             codebook_dim=self.codebook_dim,
+            normalize=True,
         )
 
     @property

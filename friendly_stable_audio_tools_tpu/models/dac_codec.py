@@ -14,6 +14,7 @@ from __future__ import annotations
 import math
 import typing as tp
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -136,3 +137,145 @@ class DACDecoderWrapper(nn.Module):
     def __call__(self, x):
         return DACDecoder(input_channel=self.latent_dim, channels=self.channels,
                           rates=self.rates, d_out=self.out_channels, name="decoder")(x)
+
+
+# ---------------------------------------------------------------------------
+# Full pretrained DAC codec (encoder + residual VQ + decoder)
+# ---------------------------------------------------------------------------
+#
+# The reference's PretrainedDACPretransform wraps `dac.DAC.load(...)` — the
+# complete Descript codec (reference pretransforms.py:136-195). Here the codec
+# is assembled from this package's native pieces; weights come from a local
+# descript `weights.pth` (converted on load) or a pre-converted JAX
+# safetensors — there is no hub download in this environment.
+
+# (model_type, model_bitrate) -> architecture hyperparameters of the released
+# descript-audio-codec checkpoints.
+DAC_PRESETS: tp.Dict[tp.Tuple[str, str], dict] = {
+    ("44khz", "8kbps"): dict(encoder_dim=64, encoder_rates=(2, 4, 8, 8),
+                             decoder_dim=1536, decoder_rates=(8, 8, 4, 2),
+                             n_codebooks=9, codebook_size=1024, codebook_dim=8,
+                             sample_rate=44100),
+    ("44khz", "16kbps"): dict(encoder_dim=64, encoder_rates=(2, 4, 8, 8),
+                              decoder_dim=1536, decoder_rates=(8, 8, 4, 2),
+                              n_codebooks=18, codebook_size=1024, codebook_dim=8,
+                              sample_rate=44100),
+    ("24khz", "8kbps"): dict(encoder_dim=64, encoder_rates=(2, 4, 5, 8),
+                             decoder_dim=1536, decoder_rates=(8, 5, 4, 2),
+                             n_codebooks=32, codebook_size=1024, codebook_dim=8,
+                             sample_rate=24000),
+    ("16khz", "8kbps"): dict(encoder_dim=64, encoder_rates=(2, 4, 5, 8),
+                             decoder_dim=1536, decoder_rates=(8, 5, 4, 2),
+                             n_codebooks=12, codebook_size=1024, codebook_dim=8,
+                             sample_rate=16000),
+}
+
+
+class DACCodecModule(nn.Module):
+    """dac.model.dac.DAC: encoder -> residual VQ (with per-stage in/out
+    projections + cosine assignment) -> decoder. Layout [B, T, C]."""
+
+    encoder_dim: int = 64
+    encoder_rates: tp.Sequence[int] = (2, 4, 8, 8)
+    decoder_dim: int = 1536
+    decoder_rates: tp.Sequence[int] = (8, 8, 4, 2)
+    n_codebooks: int = 9
+    codebook_size: int = 1024
+    codebook_dim: int = 8
+    in_channels: int = 1
+
+    def setup(self):
+        from .bottleneck import ResidualVQ
+
+        self.latent_dim = self.encoder_dim * (2 ** len(self.encoder_rates))
+        self.encoder = DACEncoder(d_model=self.encoder_dim, strides=self.encoder_rates,
+                                  d_latent=self.latent_dim, in_channels=self.in_channels)
+        self.quantizer = ResidualVQ(input_dim=self.latent_dim,
+                                    num_quantizers=self.n_codebooks,
+                                    codebook_size=self.codebook_size,
+                                    codebook_dim=self.codebook_dim,
+                                    normalize=True)
+        self.decoder = DACDecoder(input_channel=self.latent_dim, channels=self.decoder_dim,
+                                  rates=self.decoder_rates, d_out=self.in_channels)
+
+    def __call__(self, x):  # init path: touch everything
+        latents = self.encode(x)
+        z, codes, _, _ = self.quantize(latents)
+        return self.decode(z), codes
+
+    def encode(self, x):
+        """audio [B, T, 1] -> pre-quantizer latents [B, L, latent_dim]."""
+        return self.encoder(x)
+
+    def quantize(self, latents, n_quantizers: tp.Optional[int] = None):
+        return self.quantizer(latents, n_quantizers=n_quantizers)
+
+    def decode(self, z):
+        return self.decoder(z)
+
+    def from_codes(self, codes):
+        return self.quantizer.from_codes(codes)
+
+
+class DACCodec:
+    """Plain wrapper holding the flax module + params (same pattern as
+    AudioAutoencoder). All methods are channels-last [B, T, C]."""
+
+    def __init__(self, model_type: str = "44khz", model_bitrate: str = "8kbps"):
+        key = (model_type, model_bitrate)
+        if key not in DAC_PRESETS:
+            raise ValueError(f"Unknown DAC preset {key}; options: {sorted(DAC_PRESETS)}")
+        cfg = DAC_PRESETS[key]
+        self.sample_rate = cfg["sample_rate"]
+        self.n_codebooks = cfg["n_codebooks"]
+        self.codebook_size = cfg["codebook_size"]
+        self.latent_dim = cfg["encoder_dim"] * (2 ** len(cfg["encoder_rates"]))
+        self.downsampling_ratio = 1
+        for r in cfg["encoder_rates"]:
+            self.downsampling_ratio *= r
+        self.module = DACCodecModule(**{k: v for k, v in cfg.items() if k != "sample_rate"})
+        self.params: tp.Optional[dict] = None
+
+    def init(self, rng):
+        x = jnp.zeros((1, self.downsampling_ratio * 2, 1), jnp.float32)
+        self.params = self.module.init(rng, x)["params"]
+        return self.params
+
+    def _p(self, params):
+        p = params if params is not None else self.params
+        assert p is not None, "DACCodec has no params; load a converted checkpoint"
+        return {"params": p}
+
+    def encode_nwc(self, x, params=None):
+        return self.module.apply(self._p(params), x, method="encode")
+
+    def quantize_nwc(self, latents, n_quantizers=None, params=None):
+        return self.module.apply(self._p(params), latents, n_quantizers, method="quantize")[0]
+
+    def tokenize_nwc(self, x, params=None):
+        latents = self.encode_nwc(x, params=params)
+        p = self._p(params)
+        return self.module.apply(p, latents, method="quantize")[1]  # [B, L, Q]
+
+    def decode_nwc(self, z, params=None):
+        return self.module.apply(self._p(params), z, method="decode")
+
+    def from_codes_nwc(self, codes, params=None):
+        return self.module.apply(self._p(params), codes, method="from_codes")
+
+    def load(self, path: str):
+        """Load weights from a descript torch checkpoint (`weights.pth`) or a
+        pre-converted JAX safetensors/npz (keys '/'-joined)."""
+        from ..models.utils import load_ckpt_state_dict
+        from ..utils.common import _unflatten_dict
+
+        sd = load_ckpt_state_dict(path)
+        if any(".weight_v" in k or ".parametrizations." in k for k in sd):
+            from ..utils.torch_import import convert_dac_codec_state_dict
+
+            self.params = convert_dac_codec_state_dict(
+                sd, n_blocks=len(self.module.encoder_rates))
+        else:
+            self.params = _unflatten_dict(sd)
+        self.params = jax.tree_util.tree_map(jnp.asarray, self.params)
+        return self

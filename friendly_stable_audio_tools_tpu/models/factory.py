@@ -51,7 +51,10 @@ def create_model_from_config(model_config: tp.Dict[str, tp.Any], init_rng: tp.Op
         if getattr(model, "conditioner", None) is not None:
             model.conditioner.init(jax.random.fold_in(init_rng, 7))
         pretransform = getattr(model, "pretransform", None)
-        if pretransform is not None and hasattr(pretransform, "model"):
+        if (pretransform is not None and hasattr(pretransform, "model")
+                and getattr(pretransform.model, "params", "no-attr") is None):
+            # don't clobber params already loaded from a local checkpoint
+            # (e.g. PretrainedDACPretransform local_path)
             pretransform.model.init(jax.random.fold_in(init_rng, 11))
     return model
 

@@ -154,35 +154,99 @@ class PQMFPretransform(Pretransform):
 class PretrainedDACPretransform(Pretransform):
     """Descript Audio Codec as a pretransform (reference pretransforms.py:136-195).
 
-    The reference downloads DAC weights from the hub; in this framework the
-    converted-JAX checkpoint path must be supplied (`local_path`) — there is
-    no network access. The DAC architecture itself is the Oobleck/DAC conv
-    stack + DAC RVQ, built from models in this package.
+    The reference downloads DAC weights via `dac.utils.download`; here the
+    checkpoint path is supplied locally (`local_path`: descript `weights.pth`
+    or a pre-converted JAX safetensors) — there is no network access. The DAC
+    architecture itself is native (models/dac_codec.py); weight conversion is
+    utils/torch_import.convert_dac_codec_state_dict.
     """
 
     def __init__(self, model_type: str = "44khz", model_bitrate: str = "8kbps",
                  scale: float = 1.0, quantize_on_decode: bool = True, chunked: bool = True,
                  local_path: tp.Optional[str] = None):
         super().__init__(enable_grad=False, io_channels=1, is_discrete=True)
-        if local_path is None:
-            raise NotImplementedError(
-                "PretrainedDACPretransform needs a locally converted DAC checkpoint "
-                "(pass config['local_path']); remote download is unavailable."
-            )
-        raise NotImplementedError("DAC checkpoint loading lands with the torch->jax converter")
+        from .dac_codec import DACCodec
+
+        self.model = DACCodec(model_type, model_bitrate)
+        if local_path is not None:
+            self.model.load(local_path)
+        self.quantize_on_decode = quantize_on_decode
+        self.downsampling_ratio = self.model.downsampling_ratio  # 512 / 320
+        self.io_channels = 1
+        self.scale = scale
+        self.chunked = chunked
+        self.encoded_channels = self.model.latent_dim
+        self.num_quantizers = self.model.n_codebooks
+        self.codebook_size = self.model.codebook_size
+
+    def init(self, rng):
+        return self.model.init(rng)
+
+    def encode_nwc(self, x):
+        latents = self.model.encode_nwc(x)
+        out = latents if self.quantize_on_decode else self.model.quantize_nwc(latents)
+        if self.scale != 1.0:
+            out = out / self.scale
+        return self._maybe_stop_grad(out)
+
+    def decode_nwc(self, z):
+        if self.scale != 1.0:
+            z = z * self.scale
+        if self.quantize_on_decode:
+            z = self.model.quantize_nwc(z)
+        return self._maybe_stop_grad(self.model.decode_nwc(z))
+
+    def tokenize(self, x):
+        # [B, C, T] -> codes [B, Q, L] (reference returns model.encode(x)[1])
+        x_nwc = jnp.asarray(x).transpose(0, 2, 1)
+        return self.model.tokenize_nwc(x_nwc).transpose(0, 2, 1)
+
+    def decode_tokens(self, tokens):
+        # tokens [B, Q, L] -> audio [B, C, T]
+        codes = jnp.asarray(tokens).transpose(0, 2, 1)
+        latents = self.model.from_codes_nwc(codes)
+        return self.model.decode_nwc(latents).transpose(0, 2, 1)
 
 
 class AudiocraftCompressionPretransform(Pretransform):
-    """EnCodec (audiocraft) tokenizer pretransform (reference pretransforms.py:198-254).
-    Tokenize/decode_tokens only; continuous encode/decode asserts like the
-    reference. Requires a locally converted checkpoint."""
+    """EnCodec (audiocraft / MusicGen) tokenizer pretransform (reference
+    pretransforms.py:198-254). Tokenize/decode_tokens only; continuous
+    encode/decode assert like the reference. The reference downloads
+    `facebook/encodec_32khz` from the hub; here the checkpoint path is
+    supplied locally (`local_path`: HF EncodecModel torch weights or a
+    pre-converted JAX safetensors)."""
 
     def __init__(self, model_type: str = "facebook/encodec_32khz", scale: float = 1.0,
                  quantize_on_decode: bool = True, local_path: tp.Optional[str] = None):
         super().__init__(enable_grad=False, io_channels=1, is_discrete=True)
-        if local_path is None:
-            raise NotImplementedError(
-                "AudiocraftCompressionPretransform needs a locally converted EnCodec "
-                "checkpoint (pass config['local_path']); remote download is unavailable."
-            )
-        raise NotImplementedError("EnCodec checkpoint loading lands with the torch->jax converter")
+        from .encodec_codec import EncodecCodec
+
+        self.model = EncodecCodec(model_type)
+        if local_path is not None:
+            self.model.load(local_path)
+        self.quantize_on_decode = quantize_on_decode
+        self.downsampling_ratio = self.model.downsampling_ratio  # 640 @ 32 kHz
+        self.sample_rate = self.model.sample_rate
+        self.io_channels = self.model.channels
+        self.scale = scale
+        self.num_quantizers = self.model.num_quantizers
+        self.codebook_size = self.model.codebook_size
+
+    def init(self, rng):
+        return self.model.init(rng)
+
+    def encode_nwc(self, x):
+        raise AssertionError("Audiocraft compression models do not support continuous encoding")
+
+    def decode_nwc(self, z):
+        raise AssertionError("Audiocraft compression models do not support continuous decoding")
+
+    def tokenize(self, x):
+        # [B, C, T] -> codes [B, Q, L] (reference returns model.encode(x)[0])
+        x_nwc = jnp.asarray(x).transpose(0, 2, 1)
+        return self.model.tokenize_nwc(x_nwc).transpose(0, 2, 1)
+
+    def decode_tokens(self, tokens):
+        # tokens [B, Q, L] -> audio [B, C, T]
+        codes = jnp.asarray(tokens).transpose(0, 2, 1)
+        return self.model.decode_tokens_nwc(codes).transpose(0, 2, 1)

@@ -138,6 +138,170 @@ def convert_autoencoder_state_dict(sd: dict, n_enc_blocks: int = 5, n_dec_blocks
 
 
 # ---------------------------------------------------------------------------
+# Descript Audio Codec (descript-audio-codec `weights.pth`)
+# ---------------------------------------------------------------------------
+
+
+def _dac_snake(out, sd, tkey, jkey):
+    """dac.nn.layers.Snake1d: alpha (1, C, 1) -> (C,)."""
+    for suffix in (".alpha",):
+        k = tkey + suffix
+        if k in sd:
+            _set(out, f"{jkey}/alpha", np.asarray(sd[k]).reshape(-1))
+
+
+def _dac_residual_unit(out, sd, tp_, jp):
+    """dac ResidualUnit.block = [Snake1d, WNConv1d k7, Snake1d, WNConv1d k1]
+    -> models/dac_codec.py DACResidualUnit {snake1, conv1, snake2, conv2}."""
+    _dac_snake(out, sd, f"{tp_}.block.0", f"{jp}/snake1")
+    _convert_wn_conv(out, sd, f"{tp_}.block.1", f"{jp}/conv1")
+    _dac_snake(out, sd, f"{tp_}.block.2", f"{jp}/snake2")
+    _convert_wn_conv(out, sd, f"{tp_}.block.3", f"{jp}/conv2")
+
+
+def _fold_wn_linear(sd, tprefix):
+    """weight-normalized k=1 conv -> Dense {kernel, bias} (folds g*v/||v||)."""
+    if f"{tprefix}.weight_v" in sd:
+        v = np.asarray(sd[f"{tprefix}.weight_v"])
+        g = np.asarray(sd[f"{tprefix}.weight_g"])
+    else:
+        v = np.asarray(sd[f"{tprefix}.parametrizations.weight.original1"])
+        g = np.asarray(sd[f"{tprefix}.parametrizations.weight.original0"])
+    norm = np.sqrt((v**2).sum(axis=(1, 2), keepdims=True))  # per out channel
+    w = (v * (g / (norm + 1e-12)))[:, :, 0]  # (out, in)
+    out = {"kernel": w.T}
+    if f"{tprefix}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{tprefix}.bias"])
+    return out
+
+
+def convert_dac_codec_state_dict(sd: dict, n_blocks: int = 4) -> dict:
+    """Descript `dac.DAC` state dict -> flax params for DACCodecModule
+    (models/dac_codec.py). Encoder/decoder convs keep weight-norm (v, g);
+    quantizer in/out projections (k=1 WNConv1d) fold into Dense kernels;
+    Snake1d alphas reshape (1,C,1)->(C,)."""
+    out: dict = {}
+    # encoder: block = [WNConv1d, EncoderBlock*, Snake1d, WNConv1d]
+    _convert_wn_conv(out, sd, "encoder.block.0", "encoder/conv_in")
+    for i in range(n_blocks):
+        bp = f"encoder.block.{1 + i}.block"
+        jb = f"encoder/block{i}"
+        for j in range(3):
+            _dac_residual_unit(out, sd, f"{bp}.{j}", f"{jb}/res{j}")
+        _dac_snake(out, sd, f"{bp}.3", f"{jb}/snake")
+        _convert_wn_conv(out, sd, f"{bp}.4", f"{jb}/down")
+    _dac_snake(out, sd, f"encoder.block.{1 + n_blocks}", "encoder/snake_out")
+    _convert_wn_conv(out, sd, f"encoder.block.{2 + n_blocks}", "encoder/conv_out")
+
+    # quantizer.quantizers.{i}: in_proj/out_proj WNConv1d(k=1) + codebook Embedding
+    i = 0
+    while f"quantizer.quantizers.{i}.codebook.weight" in sd:
+        jq = f"quantizer/quantizer_{i}"
+        _set(out, f"{jq}/codebook", np.asarray(sd[f"quantizer.quantizers.{i}.codebook.weight"]))
+        for tname, jname in (("in_proj", "proj_in"), ("out_proj", "proj_out")):
+            folded = _fold_wn_linear(sd, f"quantizer.quantizers.{i}.{tname}")
+            for k, v in folded.items():
+                _set(out, f"{jq}/{jname}/{k}", v)
+        i += 1
+
+    # decoder: model = [WNConv1d, DecoderBlock*, Snake1d, WNConv1d, Tanh]
+    _convert_wn_conv(out, sd, "decoder.model.0", "decoder/conv_in")
+    for i in range(n_blocks):
+        bp = f"decoder.model.{1 + i}.block"
+        jb = f"decoder/block{i}"
+        _dac_snake(out, sd, f"{bp}.0", f"{jb}/snake")
+        _convert_wn_conv(out, sd, f"{bp}.1", f"{jb}/up", transposed=True)
+        for j in range(3):
+            _dac_residual_unit(out, sd, f"{bp}.{2 + j}", f"{jb}/res{j}")
+    _dac_snake(out, sd, f"decoder.model.{1 + n_blocks}", "decoder/snake_out")
+    _convert_wn_conv(out, sd, f"decoder.model.{2 + n_blocks}", "decoder/conv_out")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# EnCodec (HF transformers.EncodecModel, e.g. facebook/encodec_32khz)
+# ---------------------------------------------------------------------------
+
+
+def _enc_conv(out, sd, tkey, jkey):
+    """EncodecConv1d: params live under `<tkey>.conv.*` -> `<jkey>/conv`."""
+    _convert_wn_conv(out, sd, f"{tkey}.conv", f"{jkey}/conv")
+
+
+def _enc_convtr(out, sd, tkey, jkey):
+    _convert_wn_conv(out, sd, f"{tkey}.conv", f"{jkey}/conv", transposed=True)
+
+
+def _enc_lstm(out, sd, tkey, jkey, num_layers: int):
+    """torch nn.LSTM (gates rows [i;f;g;o]) -> flax OptimizedLSTMCell gates.
+    flax input Dense has no bias; the hidden Dense bias takes
+    bias_ih + bias_hh (identical math)."""
+    for layer in range(num_layers):
+        w_ih = np.asarray(sd[f"{tkey}.lstm.weight_ih_l{layer}"])
+        w_hh = np.asarray(sd[f"{tkey}.lstm.weight_hh_l{layer}"])
+        b = np.asarray(sd[f"{tkey}.lstm.bias_ih_l{layer}"]) + np.asarray(
+            sd[f"{tkey}.lstm.bias_hh_l{layer}"])
+        hdim = w_hh.shape[1]
+        for gi, gate in enumerate(("i", "f", "g", "o")):
+            sl = slice(gi * hdim, (gi + 1) * hdim)
+            _set(out, f"{jkey}/cell{layer}/i{gate}/kernel", w_ih[sl].T)
+            _set(out, f"{jkey}/cell{layer}/h{gate}/kernel", w_hh[sl].T)
+            _set(out, f"{jkey}/cell{layer}/h{gate}/bias", b[sl])
+
+
+def _enc_resnet(out, sd, tkey, jkey, use_conv_shortcut: bool):
+    """EncodecResnetBlock.block = [ELU, conv, ELU, conv] (convs at 1, 3)."""
+    _enc_conv(out, sd, f"{tkey}.block.1", f"{jkey}/block0")
+    _enc_conv(out, sd, f"{tkey}.block.3", f"{jkey}/block1")
+    if use_conv_shortcut:
+        _enc_conv(out, sd, f"{tkey}.shortcut", f"{jkey}/shortcut")
+
+
+def convert_encodec_state_dict(sd: dict, cfg: dict) -> dict:
+    """HF `transformers.EncodecModel` state dict -> flax params for
+    EncodecCodecModule (models/encodec_codec.py). Layer indices follow
+    EncodecEncoder/EncodecDecoder sequential construction
+    (modeling_encodec.py:286-349)."""
+    out: dict = {}
+    ratios = list(cfg["upsampling_ratios"])
+    n_res = cfg["num_residual_layers"]
+    shortcut = cfg["use_conv_shortcut"]
+    n_lstm = cfg["num_lstm_layers"]
+
+    # encoder: [conv, (res*; ELU, down)*, lstm, ELU, conv]
+    li = 0
+    _enc_conv(out, sd, f"encoder.layers.{li}", "encoder/conv_in"); li += 1
+    for bi in range(len(ratios)):
+        for j in range(n_res):
+            _enc_resnet(out, sd, f"encoder.layers.{li}", f"encoder/block{bi}_res{j}", shortcut)
+            li += 1
+        li += 1  # ELU
+        _enc_conv(out, sd, f"encoder.layers.{li}", f"encoder/down{bi}"); li += 1
+    _enc_lstm(out, sd, f"encoder.layers.{li}", "encoder/lstm", n_lstm); li += 1
+    li += 1  # ELU
+    _enc_conv(out, sd, f"encoder.layers.{li}", "encoder/conv_out")
+
+    # quantizer.layers.{i}.codebook.embed
+    for i in range(cfg["num_quantizers"]):
+        _set(out, f"quantizer/quantizer_{i}/codebook",
+             np.asarray(sd[f"quantizer.layers.{i}.codebook.embed"]))
+
+    # decoder: [conv, lstm, (ELU, up, res*)*, ELU, conv]
+    li = 0
+    _enc_conv(out, sd, f"decoder.layers.{li}", "decoder/conv_in"); li += 1
+    _enc_lstm(out, sd, f"decoder.layers.{li}", "decoder/lstm", n_lstm); li += 1
+    for bi in range(len(ratios)):
+        li += 1  # ELU
+        _enc_convtr(out, sd, f"decoder.layers.{li}", f"decoder/up{bi}"); li += 1
+        for j in range(n_res):
+            _enc_resnet(out, sd, f"decoder.layers.{li}", f"decoder/block{bi}_res{j}", shortcut)
+            li += 1
+    li += 1  # ELU
+    _enc_conv(out, sd, f"decoder.layers.{li}", "decoder/conv_out")
+    return out
+
+
+# ---------------------------------------------------------------------------
 # DiT / ContinuousTransformer
 # ---------------------------------------------------------------------------
 

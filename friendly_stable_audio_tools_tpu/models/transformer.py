@@ -136,9 +136,13 @@ class Attention(nn.Module):
         else:
             qkv = nn.Dense(self.dim * 3, use_bias=False, param_dtype=jnp.float32, name="to_qkv")(x)
 
-            # Fused qkv-layout + rope + flash-attention fast path (the DiT
-            # denoise hot loop): skips the head split/merge transposes and
-            # the fp32 rope HBM round trips (ops/pallas/flash_attention.py).
+            # Fused qkv-layout + rope + flash-attention path (opt-in via
+            # FSAT_FUSED_ATTN=1): applies rope on q/k VMEM tiles inside the
+            # kernel (ops/pallas/flash_attention.py). A/B on v5e measured it
+            # ~2% SLOWER end-to-end than rope-outside + standard flash at SAO
+            # shapes (3.77s vs 3.69s per 100-step gen), so it is off by
+            # default; kept for larger-head-dim / longer-seq configs where
+            # the saved rope HBM round trips dominate.
             import os as _os
 
             resolved_causal = self.causal if causal is None else causal
@@ -150,7 +154,7 @@ class Attention(nn.Module):
                 and not self.qk_norm
                 and self.natten_kernel_size is None
                 and not resolved_causal
-                and _os.environ.get("FSAT_DISABLE_FUSED_ATTN") != "1"
+                and _os.environ.get("FSAT_FUSED_ATTN") == "1"
             ):
                 from ..ops.pallas.flash_attention import fused_qkv_rope_attention
 

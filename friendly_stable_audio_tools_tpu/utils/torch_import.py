@@ -348,6 +348,123 @@ def convert_dit_state_dict(sd: dict, prefix: str = "model.model.") -> dict:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Dance Diffusion U-Net (DiffusionAttnUnet1D)
+# ---------------------------------------------------------------------------
+
+
+def _plain_conv(out, sd, tkey, jkey, transposed=False):
+    tv = _t_convtr if transposed else _t_conv
+    if f"{tkey}.weight" in sd:
+        _set(out, f"{jkey}/kernel", tv(sd[f"{tkey}.weight"]))
+    if f"{tkey}.bias" in sd:
+        _set(out, f"{jkey}/bias", np.asarray(sd[f"{tkey}.bias"]))
+
+
+def _groupnorm(out, sd, tkey, jkey):
+    if f"{tkey}.weight" in sd:
+        _set(out, f"{jkey}/scale", np.asarray(sd[f"{tkey}.weight"]))
+        _set(out, f"{jkey}/bias", np.asarray(sd[f"{tkey}.bias"]))
+
+
+def _dd_resconv(out, sd, tp_, jp):
+    """blocks.py ResConvBlock: main=[conv, GN, act, conv, GN, act], skip.
+    Snake acts (use_snake) carry dac Snake1d alphas (1,C,1)->(C,)."""
+    _plain_conv(out, sd, f"{tp_}.main.0", f"{jp}/conv1")
+    _groupnorm(out, sd, f"{tp_}.main.1", f"{jp}/gn1")
+    if f"{tp_}.main.2.alpha" in sd:
+        _set(out, f"{jp}/act1/alpha", np.asarray(sd[f"{tp_}.main.2.alpha"]).reshape(-1))
+    _plain_conv(out, sd, f"{tp_}.main.3", f"{jp}/conv2")
+    _groupnorm(out, sd, f"{tp_}.main.4", f"{jp}/gn2")
+    if f"{tp_}.main.5.alpha" in sd:
+        _set(out, f"{jp}/act2/alpha", np.asarray(sd[f"{tp_}.main.5.alpha"]).reshape(-1))
+    _plain_conv(out, sd, f"{tp_}.skip", f"{jp}/skip")
+
+
+def _dd_attn(out, sd, tp_, jp):
+    _groupnorm(out, sd, f"{tp_}.norm", f"{jp}/norm")
+    _plain_conv(out, sd, f"{tp_}.qkv_proj", f"{jp}/qkv_proj")
+    _plain_conv(out, sd, f"{tp_}.out_proj", f"{jp}/out_proj")
+
+
+def convert_dance_unet_state_dict(sd: dict, prefix: str = "model.model.",
+                                  depth: int = 14) -> dict:
+    """DiffusionAttnUnet1D (reference diffusion.py:376-479, torch nested
+    SkipBlock indices) -> models/dance_diffusion.py flat level{i}_* naming.
+
+    Torch layout: outer Sequential `net` = [in0,in1,in2, SkipBlock, out0,out1,
+    out2]; each SkipBlock.main = [down, in0,a0,in1,a1,in2,a2, inner, out0,a3,
+    out1,a4,out2,a5, up]. Attn/resample entries are nn.Identity when absent,
+    so key presence drives what gets mapped."""
+    sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    out: dict = {}
+    if "timestep_embed.weight" in sd:
+        _set(out, "timestep_embed/weight", np.asarray(sd["timestep_embed.weight"]))
+
+    # level 1 (outer Sequential)
+    for j, role in ((0, "in0"), (1, "in1"), (2, "in2"),
+                    (4, "out0"), (5, "out1"), (6, "out2")):
+        _dd_resconv(out, sd, f"net.{j}", f"level1_{role}")
+
+    # levels 2..depth nested at net.3.(main.7.)*main
+    tp_ = "net.3"
+    for i in range(2, depth + 1):
+        mp = f"{tp_}.main"
+        jb = f"level{i}"
+        _plain_conv(out, sd, f"{mp}.0", f"{jb}_down")  # learned resample only
+        for j, role in ((1, "in0"), (3, "in1"), (5, "in2"),
+                        (8, "out0"), (10, "out1"), (12, "out2")):
+            _dd_resconv(out, sd, f"{mp}.{j}", f"{jb}_{role}")
+        for j, role in ((2, "attn0"), (4, "attn1"), (6, "attn2"),
+                        (9, "attn3"), (11, "attn4"), (13, "attn5")):
+            _dd_attn(out, sd, f"{mp}.{j}", f"{jb}_{role}")
+        _plain_conv(out, sd, f"{mp}.14", f"{jb}_up", transposed=True)
+        tp_ = f"{mp}.7"
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Audio LM (AudioLanguageModelWrapper)
+# ---------------------------------------------------------------------------
+
+
+def convert_continuous_transformer(sd: dict, prefix: str) -> dict:
+    """ContinuousTransformer subtree (reference transformer.py naming) ->
+    flax tree, reusing the DiT transformer-core rules."""
+    out: dict = {}
+    plen = len(prefix)
+    for k, v in sd.items():
+        if not k.startswith(prefix):
+            continue
+        key = "transformer." + k[plen:]
+        for pat, repl, fn in _DIT_RULES:
+            if re.match(pat, key):
+                _set(out, re.sub(pat, repl, key), fn(v))
+                break
+    return out.get("transformer", {})
+
+
+def convert_lm_state_dict(sd: dict) -> dict:
+    """AudioLanguageModelWrapper state dict (reference lm.py:38-102 naming:
+    lm.embeddings.N / lm.backbone.model.* / lm.quantizer_heads.N) -> flax
+    params for AudioLanguageModelModule (embed{N} / backbone/model / head{N})."""
+    out: dict = {}
+    for k, v in sd.items():
+        m = re.match(r"^lm\.embeddings\.(\d+)\.weight$", k)
+        if m:
+            _set(out, f"embed{m.group(1)}/embedding", np.asarray(v))
+        m = re.match(r"^lm\.quantizer_heads\.(\d+)\.weight$", k)
+        if m:
+            _set(out, f"head{m.group(1)}/kernel", _t_linear(v))
+        m = re.match(r"^lm\.quantizer_heads\.(\d+)\.bias$", k)
+        if m:
+            _set(out, f"head{m.group(1)}/bias", np.asarray(v))
+    ct = convert_continuous_transformer(sd, "lm.backbone.model.")
+    if ct:
+        out["backbone"] = {"model": ct}
+    return out
+
+
 def convert_number_conditioner(sd: dict, prefix: str) -> dict:
     """NumberConditioner.embedder = NumberEmbedder(TimePositionalEmbedding)
     (reference conditioners.py:64-102, adp.py:1495-1514)."""
@@ -452,6 +569,28 @@ def load_torch_checkpoint_into_model(model, ckpt_path: str, model_config: dict) 
             n_blocks = 5
             model.pretransform.model.params = copy_state_dict(
                 model.pretransform.model.params, convert_autoencoder_state_dict(sub, n_blocks, n_blocks))
+        return
+
+    if model_type == "diffusion_uncond":
+        import jax
+
+        if model.params is None:
+            model.init(jax.random.PRNGKey(0))
+        inner_type = model_config["model"].get("type", "DAU1d")
+        if inner_type != "DAU1d":
+            raise NotImplementedError(
+                f"torch import for diffusion_uncond type={inner_type} not implemented")
+        depth = model_config["model"].get("config", model_config["model"]).get("depth", 14)
+        converted = convert_dance_unet_state_dict(sd, "model.model.", depth=depth)
+        model.params = copy_state_dict(model.params, converted)
+        return
+
+    if model_type == "lm":
+        import jax
+
+        if model.params is None:
+            model.init(jax.random.PRNGKey(0))
+        model.params = copy_state_dict(model.params, convert_lm_state_dict(sd))
         return
 
     raise NotImplementedError(f"torch import for model_type={model_type} not implemented yet")

@@ -169,8 +169,9 @@ def test_attention_module_fused_path_matches_unfused(monkeypatch):
     attn = Attention(dim, dim_heads=64, zero_init_output=False)
     params = attn.init(jax.random.PRNGKey(0), x, rotary_pos_emb=freqs)
 
+    monkeypatch.setenv("FSAT_FUSED_ATTN", "1")
     fused = attn.apply(params, x, rotary_pos_emb=freqs)
-    monkeypatch.setenv("FSAT_DISABLE_FUSED_ATTN", "1")
+    monkeypatch.delenv("FSAT_FUSED_ATTN")
     unfused = attn.apply(params, x, rotary_pos_emb=freqs)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(unfused), atol=2e-3)
 

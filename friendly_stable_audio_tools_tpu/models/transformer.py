@@ -106,6 +106,9 @@ class Attention(nn.Module):
     zero_init_output: bool = True
     qk_norm: bool = False
     natten_kernel_size: tp.Optional[int] = None
+    # true token count when inputs are pre-padded to an aligned length
+    # (padded-sequence path); masks self-attention K/V at this length
+    self_kv_len: tp.Optional[int] = None
 
     @nn.compact
     def __call__(
@@ -154,6 +157,7 @@ class Attention(nn.Module):
                 and not self.qk_norm
                 and self.natten_kernel_size is None
                 and not resolved_causal
+                and self.self_kv_len is None
                 and _os.environ.get("FSAT_FUSED_ATTN") == "1"
             ):
                 from ..ops.pallas.flash_attention import fused_qkv_rope_attention
@@ -216,7 +220,9 @@ class Attention(nn.Module):
         if self.natten_kernel_size:
             out = windowed_attention(q, k, v, self.natten_kernel_size, mask=attn_mask)
         else:
-            out = scaled_dot_product_attention(q, k, v, mask=attn_mask, causal=causal)
+            kv_len = self.self_kv_len if (not has_context and kv_cache is None) else None
+            out = scaled_dot_product_attention(q, k, v, mask=attn_mask, causal=causal,
+                                               kv_len=kv_len)
 
         b, _, n, _ = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
@@ -267,6 +273,7 @@ class TransformerBlock(nn.Module):
     qk_norm: bool = False
     natten_kernel_size: tp.Optional[int] = None
     ff_mult: int = 4
+    self_kv_len: tp.Optional[int] = None  # see Attention.self_kv_len
 
     @nn.compact
     def __call__(
@@ -287,7 +294,7 @@ class TransformerBlock(nn.Module):
             self.dim, self.dim_heads, causal=self.causal,
             zero_init_output=self.zero_init_branch_outputs,
             qk_norm=self.qk_norm, natten_kernel_size=self.natten_kernel_size,
-            name="self_attn",
+            self_kv_len=self.self_kv_len, name="self_attn",
         )
         pre_norm = norm(self.dim, "pre_norm")
         ff = FeedForward(self.dim, mult=self.ff_mult, zero_init_output=self.zero_init_branch_outputs, name="ff")
@@ -376,7 +383,8 @@ class ContinuousTransformer(nn.Module):
     ff_mult: int = 4
     grad_checkpointing: bool = False
 
-    def _block(self, i, remat: bool = False) -> TransformerBlock:
+    def _block(self, i, remat: bool = False,
+               self_kv_len: tp.Optional[int] = None) -> TransformerBlock:
         cls = nn.remat(TransformerBlock) if remat else TransformerBlock
         return cls(
             dim=self.dim,
@@ -390,6 +398,7 @@ class ContinuousTransformer(nn.Module):
             qk_norm=self.qk_norm,
             natten_kernel_size=self.natten_kernel_size,
             ff_mult=self.ff_mult,
+            self_kv_len=self_kv_len,
             name=f"layer{i}",
         )
 
@@ -423,6 +432,38 @@ class ContinuousTransformer(nn.Module):
                 prepend_mask = prepend_mask if prepend_mask is not None else jnp.ones((batch, prepend_length), bool)
                 mask = jnp.concatenate([prepend_mask, mask], axis=-1)
 
+        # Padded-sequence fast path: misaligned lengths (prepend tokens make
+        # the DiT 1024+2) cost a pad+slice pair around the flash kernel in
+        # every layer. Pad ONCE here to the lane multiple, mask K/V at the
+        # true length inside the kernel (self_kv_len), slice ONCE after the
+        # stack. The whole residual stream then runs at the padded length, so
+        # every GEMM pays (padded-valid)/valid extra FLOPs — v5e A/B: at SAO's
+        # 1026 (+12%) that LOSES (12.3 vs 12.9 s-audio/s/chip), so the path
+        # only engages when the pad ratio is small (long-form SA 2.0: 6146 ->
+        # 6272 = +2%). Padded rows carry garbage but never contaminate valid
+        # tokens (attention is kv-masked; everything else is per-token), and
+        # their cotangents are identically zero in backward because they are
+        # sliced off here.
+        import os as _os
+
+        valid_len = x.shape[1]
+        padded_len = (valid_len + 127) // 128 * 128
+        pad_ratio_ok = 0 < padded_len - valid_len and (
+            (padded_len - valid_len) / valid_len <= 0.04
+            or _os.environ.get("FSAT_FORCE_SEQ_PAD") == "1")
+        use_seq_pad = (
+            mask is None and kv_caches is None and not return_kv
+            and not self.causal and self.natten_kernel_size is None
+            and not return_info and valid_len >= 1024 and pad_ratio_ok
+            and self.dim_heads <= 128
+            and (jax.default_backend() not in ("cpu",)
+                 or _os.environ.get("FSAT_FORCE_SEQ_PAD") == "1")
+            and _os.environ.get("FSAT_DISABLE_SEQ_PAD") != "1"
+        )
+        if use_seq_pad:
+            x = jnp.pad(x, ((0, 0), (0, padded_len - valid_len), (0, 0)))
+        self_kv_len = valid_len if use_seq_pad else None
+
         rot = None
         if self.rotary_pos_emb:
             # reference uses max(dim_heads//2, 32); clamp to head dim so tiny
@@ -453,12 +494,16 @@ class ContinuousTransformer(nn.Module):
                 )
                 new_kvs.append(kv)
             else:
-                x = self._block(i, remat=self.grad_checkpointing)(
+                x = self._block(i, remat=self.grad_checkpointing,
+                                self_kv_len=self_kv_len)(
                     x, context=context, global_cond=global_cond, mask=mask,
                     context_mask=context_mask, rotary_pos_emb=rot,
                 )
             if return_info:
                 info["hidden_states"].append(x)
+
+        if use_seq_pad:
+            x = x[:, :valid_len]
 
         if self.dim_out:
             x = nn.Dense(self.dim_out, use_bias=False, param_dtype=jnp.float32, name="project_out")(x)

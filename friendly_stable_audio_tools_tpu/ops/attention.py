@@ -39,8 +39,14 @@ def scaled_dot_product_attention(
     mask: tp.Optional[jnp.ndarray] = None,
     causal: bool = False,
     implementation: str = "auto",
+    kv_len: tp.Optional[int] = None,
 ) -> jnp.ndarray:
-    """mask: broadcastable to [B, H, Tq, Tk], True = keep."""
+    """mask: broadcastable to [B, H, Tq, Tk], True = keep.
+
+    kv_len: true K/V length for pre-padded self-attention inputs (the
+    padded-sequence transformer path) — positions >= kv_len are masked out;
+    the padded q rows still produce (garbage) outputs for the caller to
+    slice off once."""
     num_heads = q.shape[1]
     k, v = _repeat_kv(k, v, num_heads)
 
@@ -63,15 +69,18 @@ def scaled_dot_product_attention(
         try:
             from .pallas.flash_attention import flash_attention
         except ImportError:
-            return _xla_attention(q, k, v, mask=mask, causal=causal)
-        return flash_attention(q, k, v, causal=causal)
+            return _xla_attention(q, k, v, mask=mask, causal=causal, kv_len=kv_len)
+        return flash_attention(q, k, v, causal=causal, kv_len=kv_len)
 
-    return _xla_attention(q, k, v, mask=mask, causal=causal)
+    return _xla_attention(q, k, v, mask=mask, causal=causal, kv_len=kv_len)
 
 
-def _xla_attention(q, k, v, mask=None, causal=False):
+def _xla_attention(q, k, v, mask=None, causal=False, kv_len=None):
     scale = 1.0 / (q.shape[-1] ** 0.5)
     logits = jnp.einsum("bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32) * scale
+    if kv_len is not None and kv_len < k.shape[-2]:
+        kpos = jnp.arange(k.shape[-2])
+        logits = jnp.where(kpos[None, None, None, :] < kv_len, logits, NEG_INF)
     if causal:
         i = q.shape[-2]
         j = k.shape[-2]

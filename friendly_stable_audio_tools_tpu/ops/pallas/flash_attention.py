@@ -169,9 +169,12 @@ def _pick_block_q(t_q: int, block_q: int, single_dot: bool) -> int:
 
 
 def _flash_forward(q, k, v, causal: bool, block_q: int, block_k: int,
-                   save_stats: bool = False, freqs=None):
+                   save_stats: bool = False, freqs=None, kv_len=None):
     bh, t_q, d = q.shape
     t_k = k.shape[1]
+    # kv_len: true K/V length when the caller pre-padded q/k/v to aligned
+    # lengths (padded-sequence transformer path); padded output is returned.
+    true_k = t_k if kv_len is None else kv_len
     scale = 1.0 / math.sqrt(d)
 
     single_dot = (not causal) and t_k <= SINGLE_DOT_MAX_TK
@@ -202,14 +205,14 @@ def _flash_forward(q, k, v, causal: bool, block_q: int, block_k: int,
         sin_q = jnp.pad(sin, ((0, t_qp - t_q), (0, 0)))
         cos_k = jnp.pad(cos, ((0, t_kp - t_q), (0, 0)), constant_values=1.0)
         sin_k = jnp.pad(sin, ((0, t_kp - t_q), (0, 0)))
-        kernel = functools.partial(_single_dot_rope_kernel, scale=scale, kv_len=t_k,
+        kernel = functools.partial(_single_dot_rope_kernel, scale=scale, kv_len=true_k,
                                    save_stats=save_stats)
     elif single_dot:
-        kernel = functools.partial(_single_dot_kernel, scale=scale, kv_len=t_k,
+        kernel = functools.partial(_single_dot_kernel, scale=scale, kv_len=true_k,
                                    save_stats=save_stats)
     else:
         kernel = functools.partial(_online_kernel, block_k=block_k, causal=causal,
-                                   scale=scale, kv_len=t_k, save_stats=save_stats)
+                                   scale=scale, kv_len=true_k, save_stats=save_stats)
     if not save_stats:
         # inference: no stats output (its write-back would cost real HBM BW)
         kernel = functools.partial(kernel, lse_ref=None)
@@ -304,7 +307,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, dq_ref, *,
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, dk_ref, dv_ref, *,
-                         scale: float, kv_len: int, causal: bool, block_k: int):
+                         scale: float, kv_len: int, total_k: int, causal: bool,
+                         block_k: int):
     t_qp, d = q_ref.shape
     bk = k_ref.shape[0]
     ki = pl.program_id(1)
@@ -324,7 +328,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, dk_ref, dv_ref,
         if causal:
             q_pos = i * BWD_CHUNK + jax.lax.broadcasted_iota(jnp.int32, (BWD_CHUNK, bk), 0)
             s = jnp.where(k_pos <= q_pos, s, NEG_INF)
-        if kv_len % block_k != 0:
+        if kv_len % block_k != 0 or kv_len < total_k:
             s = jnp.where(k_pos < kv_len, s, NEG_INF)
         p = jnp.exp(s - lse)  # padded q rows have do = 0, so they contribute 0
         pb = p.astype(do.dtype)
@@ -344,10 +348,15 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, dk_ref, dv_ref,
     dv_ref[:] = dv.astype(dv_ref.dtype)
 
 
-def _flash_backward(q, k, v, out, lse, g, causal, block_q, block_k):
-    """FA2 backward: dq gridded over q blocks, dk/dv gridded over k blocks."""
+def _flash_backward(q, k, v, out, lse, g, causal, block_q, block_k, kv_len=None):
+    """FA2 backward: dq gridded over q blocks, dk/dv gridded over k blocks.
+
+    With kv_len set (pre-padded inputs), cotangents of padded q rows MUST be
+    zero — guaranteed in the padded-sequence transformer because padded rows
+    are sliced off the final output."""
     bh, t_q, d = q.shape
     t_k = k.shape[1]
+    true_k = t_k if kv_len is None else kv_len
     scale = 1.0 / math.sqrt(d)
 
     # bwd blocks are independent of the fwd's; clamp to the chunk size so
@@ -367,7 +376,7 @@ def _flash_backward(q, k, v, out, lse, g, causal, block_q, block_k):
     t_qp, t_kp = qp.shape[1], kp.shape[1]
 
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, scale=scale, kv_len=t_k, causal=causal,
+        functools.partial(_bwd_dq_kernel, scale=scale, kv_len=true_k, causal=causal,
                           block_q=block_q),
         grid=(bh, t_qp // block_q),
         interpret=_interpret(),
@@ -384,8 +393,8 @@ def _flash_backward(q, k, v, out, lse, g, causal, block_q, block_k):
     )(qp, kp, vp, dop, op, lsep)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, scale=scale, kv_len=t_k, causal=causal,
-                          block_k=block_k),
+        functools.partial(_bwd_dkv_kernel, scale=scale, kv_len=true_k, total_k=t_kp,
+                          causal=causal, block_k=block_k),
         grid=(bh, t_kp // block_k),
         interpret=_interpret(),
         in_specs=[
@@ -409,19 +418,21 @@ def _flash_backward(q, k, v, out, lse, g, causal, block_q, block_k):
     return dq[:, :t_q], dk[:, :t_k], dv[:, :t_k]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _flash(q, k, v, causal, block_q, block_k):
-    return _flash_forward(q, k, v, causal, block_q, block_k)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash(q, k, v, causal, block_q, block_k, kv_len=None):
+    return _flash_forward(q, k, v, causal, block_q, block_k, kv_len=kv_len)
 
 
-def _flash_fwd(q, k, v, causal, block_q, block_k):
-    out, lse = _flash_forward(q, k, v, causal, block_q, block_k, save_stats=True)
+def _flash_fwd(q, k, v, causal, block_q, block_k, kv_len=None):
+    out, lse = _flash_forward(q, k, v, causal, block_q, block_k, save_stats=True,
+                              kv_len=kv_len)
     return out, (q, k, v, out, lse)
 
 
-def _flash_bwd(causal, block_q, block_k, res, g):
+def _flash_bwd(causal, block_q, block_k, kv_len, res, g):
     q, k, v, out, lse = res
-    return _flash_backward(q, k, v, out, lse, g, causal, block_q, block_k)
+    return _flash_backward(q, k, v, out, lse, g, causal, block_q, block_k,
+                           kv_len=kv_len)
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -429,7 +440,7 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 
 def flash_attention(q, k, v, causal: bool = False,
                     block_q: int = DEFAULT_BLOCK_Q, block_k: int = DEFAULT_BLOCK_K,
-                    freqs=None):
+                    freqs=None, kv_len: int = None):
     """q/k/v: [B, H, Tq, D] / [B, H, Tk, D] -> [B, H, Tq, D]. Supports
     rectangular (cross) attention when not causal — short Tk (e.g. the DiT's
     ~130 cond tokens) is padded to lane alignment and masked via kv_len
@@ -441,6 +452,12 @@ def flash_attention(q, k, v, causal: bool = False,
     b, h, t, d = q.shape
     t_k = k.shape[2]
     assert t == t_k or not causal, "causal rectangular attention unsupported"
+    if kv_len is not None:
+        # pre-padded inputs (padded-sequence transformer): q/k/v lengths are
+        # already lane-aligned, kv_len is the true K/V length; the output
+        # keeps the padded length (caller slices once at the end).
+        assert freqs is None and not causal and kv_len <= t_k
+        assert t % 8 == 0 and t_k % 8 == 0, "kv_len path expects aligned inputs"
     bq = min(block_q, (t + 7) // 8 * 8)
     bk = min(block_k, (t_k + 7) // 8 * 8)
     qf = q.reshape(b * h, t, d)
@@ -453,11 +470,11 @@ def flash_attention(q, k, v, causal: bool = False,
             # be recomputed per block — rope outside instead
             qf = _rope_outside(qf, freqs)
             kf = _rope_outside(kf, freqs)
-            out = _flash(qf, kf, vf, causal, bq, bk)
+            out = _flash(qf, kf, vf, causal, bq, bk, None)
         else:
             out = _flash_rope(qf, kf, vf, freqs, causal, bq, bk)
     else:
-        out = _flash(qf, kf, vf, causal, bq, bk)
+        out = _flash(qf, kf, vf, causal, bq, bk, kv_len)
     return out.reshape(b, h, t, d)
 
 

@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 jax = pytest.importorskip("jax")
+import jax.flatten_util  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 
@@ -199,3 +200,66 @@ def test_flash_attention_rectangular_cross():
         q.reshape(b * h, tq, d), k_.reshape(b * h, tk, d),
         v.reshape(b * h, tk, d), False) ** 2))(k)
     np.testing.assert_allclose(np.asarray(gk1), np.asarray(gk2), atol=3e-3)
+
+
+def test_padded_sequence_path_matches_unpadded(monkeypatch):
+    """ContinuousTransformer padded-sequence fast path (pad once to the lane
+    multiple, kv_len-mask in attention, slice once) == unpadded math, forward
+    and grad, at the DiT's 128-misaligned length (1024 latents + 2 prepend)."""
+    from friendly_stable_audio_tools_tpu.models.transformer import ContinuousTransformer
+
+    rng = np.random.RandomState(7)
+    b, t, dim = 1, 1024, 64
+    model = ContinuousTransformer(dim=dim, depth=2, dim_heads=32,
+                                  cross_attend=True, cond_token_dim=64)
+    x = jnp.asarray(rng.randn(b, t, dim), jnp.float32) * 0.3
+    prep = jnp.asarray(rng.randn(b, 2, dim), jnp.float32) * 0.3
+    ctx = jnp.asarray(rng.randn(b, 9, 64), jnp.float32) * 0.3
+    params = model.init(jax.random.PRNGKey(0), x, prepend_embeds=prep, context=ctx)
+
+    def run(p):
+        return model.apply(p, x, prepend_embeds=prep, context=ctx)
+
+    monkeypatch.setenv("FSAT_FORCE_SEQ_PAD", "1")
+    padded = run(params)
+    g1 = jax.grad(lambda p: jnp.sum(run(p) ** 2))(params)
+    monkeypatch.setenv("FSAT_DISABLE_SEQ_PAD", "1")
+    plain = run(params)
+    g2 = jax.grad(lambda p: jnp.sum(run(p) ** 2))(params)
+
+    assert padded.shape == plain.shape == (b, t + 2, dim)
+    np.testing.assert_allclose(np.asarray(padded), np.asarray(plain), atol=2e-3)
+    l1, _ = jax.flatten_util.ravel_pytree(g1)
+    l2, _ = jax.flatten_util.ravel_pytree(g2)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=5e-3)
+
+
+def test_flash_attention_kv_len_prepadded():
+    """flash_attention(kv_len=): pre-padded aligned inputs, true length mask;
+    valid rows match unpadded flash, forward and grad."""
+    from friendly_stable_audio_tools_tpu.ops.pallas.flash_attention import flash_attention
+
+    rng = np.random.RandomState(11)
+    b, h, t, d = 1, 2, 1026, 64
+    tp_ = 1152
+    q = jnp.asarray(rng.randn(b, h, t, d), jnp.float32) * 0.3
+    pad = ((0, 0), (0, 0), (0, tp_ - t), (0, 0))
+    qp = jnp.pad(q, pad)
+
+    ref = flash_attention(q, q, q)
+    got = flash_attention(qp, qp, qp, kv_len=t)
+    assert got.shape[2] == tp_
+    np.testing.assert_allclose(np.asarray(got[:, :, :t]), np.asarray(ref), atol=2e-3)
+
+    # grad: padded-row cotangents zero (the pipeline invariant)
+    def loss_padded(qp_):
+        out = flash_attention(qp_, qp_, qp_, kv_len=t)
+        return jnp.sum(out[:, :, :t] ** 2)
+
+    def loss_plain(q_):
+        return jnp.sum(flash_attention(q_, q_, q_) ** 2)
+
+    gp = jax.grad(loss_padded)(qp)
+    gr = jax.grad(loss_plain)(q)
+    np.testing.assert_allclose(np.asarray(gp[:, :, :t]), np.asarray(gr), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(gp[:, :, t:]), 0.0, atol=1e-6)

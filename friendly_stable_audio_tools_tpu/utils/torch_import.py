@@ -593,4 +593,33 @@ def load_torch_checkpoint_into_model(model, ckpt_path: str, model_config: dict) 
         model.params = copy_state_dict(model.params, convert_lm_state_dict(sd))
         return
 
+    if model_type == "diffusion_autoencoder":
+        import jax
+
+        if model.params is None:
+            model.init(jax.random.PRNGKey(0))
+        # encoder (+ optional oobleck decoder) live in the AE tree; the
+        # diffusion decoder is a separate wrapper with its own params
+        # (reference autoencoders.py:648-690: self.encoder / self.diffusion)
+        updates: dict = {}
+        if any(k.startswith("encoder.") for k in sd):
+            n_blocks = len(model_config["model"]["encoder"]["config"].get(
+                "c_mults", [1] * 5)) if "encoder" in model_config["model"] else 5
+            updates["encoder"] = convert_oobleck_encoder(sd, "encoder", n_blocks)
+        if any(k.startswith("decoder.") for k in sd):
+            n_blocks = len(model_config["model"]["decoder"]["config"].get(
+                "c_mults", [1] * 5)) if "decoder" in model_config["model"] else 5
+            updates["decoder"] = convert_oobleck_decoder(sd, "decoder", n_blocks)
+        if updates:
+            model.params = copy_state_dict(model.params, updates)
+        diff_cfg = model_config["model"]["diffusion"]
+        if diff_cfg["type"] != "DAU1d":
+            raise NotImplementedError(
+                f"torch import for diffusion_autoencoder diffusion type="
+                f"{diff_cfg['type']} not implemented")
+        depth = diff_cfg["config"].get("depth", 14)
+        converted = convert_dance_unet_state_dict(sd, "diffusion.model.", depth=depth)
+        model.diffusion.params = copy_state_dict(model.diffusion.params, converted)
+        return
+
     raise NotImplementedError(f"torch import for model_type={model_type} not implemented yet")

@@ -125,16 +125,16 @@ def _dd_attn(sd, key, c):
     _dd_conv(sd, f"{key}.out_proj", c, c, 1)
 
 
-def make_dance_unet_state_dict():
+def make_dance_unet_state_dict(prefix="model.model.", cond_dim=0):
     """Torch DiffusionAttnUnet1D(depth=3, channels=(32,32,64), n_attn=1,
     use_snake): net = [in0,in1,in2, SkipBlock(level2), out0,out1,out2];
     SkipBlock.main = [down, in0,a0,in1,a1,in2,a2, inner, out0,a3,out1,a4,
     out2,a5, up] (attn at levels >= depth-n_attn = 2)."""
     io, chans = 2, DD["channels"]
-    sd = {"model.model.timestep_embed.weight": RNG.randn(8, 1).astype(np.float32)}
-    p = "model.model.net"
+    sd = {f"{prefix}timestep_embed.weight": RNG.randn(8, 1).astype(np.float32)}
+    p = f"{prefix}net"
     c = chans[0]
-    in_c = io + 16
+    in_c = io + cond_dim + 16
     _dd_resconv(sd, f"{p}.0", in_c, c, c)
     _dd_resconv(sd, f"{p}.1", c, c, c)
     _dd_resconv(sd, f"{p}.2", c, c, c)
@@ -177,3 +177,50 @@ def test_dance_unet_converter_matches_init_tree():
         sorted(set(fr) - set(fg))[:8], sorted(set(fg) - set(fr))[:8])
     for k in fr:
         assert fr[k] == fg[k], (k, fr[k], fg[k])
+
+
+def test_diffae_torch_import():
+    """load_torch_checkpoint_into_model(model_type=diffusion_autoencoder):
+    oobleck encoder + DAU1d diffusion decoder (reference autoencoders.py:
+    648-690 naming: encoder.* / diffusion.model.*)."""
+    from test_torch_import import build_torch_oobleck_encoder
+    from friendly_stable_audio_tools_tpu.models.factory import create_model_from_config
+    from friendly_stable_audio_tools_tpu.utils.torch_import import (
+        load_torch_checkpoint_into_model,
+    )
+    import tempfile, os
+
+    config = {
+        "model_type": "diffusion_autoencoder",
+        "sample_size": 256,
+        "sample_rate": 16000,
+        "audio_channels": 2,
+        "model": {
+            "encoder": {"type": "oobleck", "config": {
+                "in_channels": 2, "channels": 4, "c_mults": [1, 2],
+                "strides": [2, 4], "latent_dim": 8}},
+            "diffusion": {"type": "DAU1d", "config": {
+                "io_channels": 2, "depth": 3, "n_attn_layers": 1,
+                "channels": [32, 32, 64], "strides": [2, 2],
+                "cond_dim": 8, "use_snake": True}},
+            "latent_dim": 8,
+            "downsampling_ratio": 8,
+            "io_channels": 2,
+        },
+    }
+    model = create_model_from_config(config, init_rng=jax.random.PRNGKey(0))
+
+    tenc = build_torch_oobleck_encoder(in_ch=2, channels=4, c_mults=(1, 2),
+                                       strides=(2, 4), latent=8)
+    sd = {f"encoder.{k}": v.detach().numpy() for k, v in tenc.state_dict().items()}
+    sd.update(make_dance_unet_state_dict(prefix="diffusion.model.", cond_dim=8))
+
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "diffae.npz")
+        np.savez(path, **sd)
+        load_torch_checkpoint_into_model(model, path, config)
+
+    got = np.asarray(model.diffusion.params["timestep_embed"]["weight"])
+    np.testing.assert_allclose(got, sd["diffusion.model.timestep_embed.weight"])
+    got_enc = np.asarray(model.params["encoder"]["conv_in"]["bias"])
+    np.testing.assert_allclose(got_enc, sd["encoder.layers.0.bias"], rtol=1e-6)

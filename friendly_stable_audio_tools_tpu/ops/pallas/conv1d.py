@@ -16,6 +16,7 @@ works; inference is the perf-critical direction.
 from __future__ import annotations
 
 import functools
+import os
 import typing as tp
 
 import jax
@@ -168,7 +169,8 @@ def snake_conv1d(
         bt //= 2
 
     use_pallas = (
-        (jax.default_backend() != "cpu" or _interpret())
+        os.environ.get("FSAT_DISABLE_PALLAS_CONV") != "1"
+        and (jax.default_backend() != "cpu" or _interpret())
         and x.shape[1] >= bt
         and bt >= 128
         and w_bytes < 6 * 2**20
@@ -327,7 +329,8 @@ def snake_conv_transpose1d(
     while bt > 128 and 4 * bt * (7 * cin + 2 * stride * cout) > 10 * 2**20 - w_bytes:
         bt //= 2
     use_pallas = (
-        (jax.default_backend() != "cpu" or _interpret())
+        os.environ.get("FSAT_DISABLE_PALLAS_CONV") != "1"
+        and (jax.default_backend() != "cpu" or _interpret())
         and stride % 2 == 0
         and k == 2 * stride
         and padding == stride // 2
@@ -444,7 +447,8 @@ def fused_residual_unit(x, w1, b1, alpha1, inv_beta1, w2, b2, alpha2, inv_beta2,
     while bt > 128 and 4 * bt * ((4 + k) * cin + 2 * cout) > budget:
         bt //= 2
     use_pallas = (
-        (jax.default_backend() != "cpu" or _interpret())
+        os.environ.get("FSAT_DISABLE_PALLAS_CONV") != "1"
+        and (jax.default_backend() != "cpu" or _interpret())
         and x.shape[1] >= bt
         and bt >= 128
         and w_bytes < 6 * 2**20

@@ -390,6 +390,20 @@ class AudioAutoencoder:
 
     # ---- chunked streaming (reference autoencoders.py:410-645) -----------
 
+    def _chunked_jit(self, kind: str, chunk_size: int, overlap: int, build):
+        """Cache one jitted (params, x) -> out callable per chunk config.
+
+        The chunked scan MUST run under jit: eagerly, lax.scan dispatches its
+        body op-by-op per iteration, which is ~400x slower over the TPU
+        dispatch path (measured 85 s vs 0.2 s for a 1024-frame chunked
+        decode). Params are jit arguments, not closed-over constants."""
+        if not hasattr(self, "_chunk_jits"):
+            self._chunk_jits = {}
+        key = (kind, chunk_size, overlap)
+        if key not in self._chunk_jits:
+            self._chunk_jits[key] = jax.jit(build())
+        return self._chunk_jits[key]
+
     def encode_audio(self, audio, chunked: bool = False, chunk_size: int = 128,
                      overlap: int = 4, max_batch_size: int = 1, params=None, **kwargs):
         """[B, C, T] -> [B, latent_dim, T/ratio]; audio length must be a
@@ -402,14 +416,30 @@ class AudioAutoencoder:
         if not chunked:
             return self.encode(audio, params=params, **kwargs)
         x = audio.transpose(0, 2, 1)
-        fn = lambda xc: self._encode_nwc(xc, params=params, **kwargs)[0]
-        z = chunked_process(
-            fn, x,
-            chunk_in=chunk_size * r, hop_in=(chunk_size - overlap) * r,
-            chunk_out=chunk_size, hop_out=chunk_size - overlap,
-            overlap_out=overlap, out_channels=self.latent_dim,
-            out_length=sample_length // r, pad_mode="zero",
-        )
+        if kwargs:
+            fn = lambda xc: self._encode_nwc(xc, params=params, **kwargs)[0]
+            z = chunked_process(
+                fn, x,
+                chunk_in=chunk_size * r, hop_in=(chunk_size - overlap) * r,
+                chunk_out=chunk_size, hop_out=chunk_size - overlap,
+                overlap_out=overlap, out_channels=self.latent_dim,
+                out_length=sample_length // r, pad_mode="zero",
+            )
+            return z.transpose(0, 2, 1)
+
+        def build():
+            def run(p, x):
+                return chunked_process(
+                    lambda xc: self._encode_nwc(xc, params=p)[0], x,
+                    chunk_in=chunk_size * r, hop_in=(chunk_size - overlap) * r,
+                    chunk_out=chunk_size, hop_out=chunk_size - overlap,
+                    overlap_out=overlap, out_channels=self.latent_dim,
+                    out_length=x.shape[1] // r, pad_mode="zero",
+                )
+            return run
+
+        z = self._chunked_jit("encode", chunk_size, overlap, build)(
+            params if params is not None else self.params, x)
         return z.transpose(0, 2, 1)
 
     def decode_audio(self, latents, chunked: bool = False, chunk_size: int = 128,
@@ -422,14 +452,30 @@ class AudioAutoencoder:
         if not chunked:
             return self.decode(latents, params=params, **kwargs)
         z = latents.transpose(0, 2, 1)
-        fn = lambda zc: self._decode_nwc(zc, params=params, **kwargs)
-        x = chunked_process(
-            fn, z,
-            chunk_in=chunk_size, hop_in=chunk_size - overlap,
-            chunk_out=chunk_size * r, hop_out=(chunk_size - overlap) * r,
-            overlap_out=overlap * r, out_channels=self.out_channels,
-            out_length=latent_length * r, pad_mode="reflect",
-        )
+        if kwargs:
+            fn = lambda zc: self._decode_nwc(zc, params=params, **kwargs)
+            x = chunked_process(
+                fn, z,
+                chunk_in=chunk_size, hop_in=chunk_size - overlap,
+                chunk_out=chunk_size * r, hop_out=(chunk_size - overlap) * r,
+                overlap_out=overlap * r, out_channels=self.out_channels,
+                out_length=latent_length * r, pad_mode="reflect",
+            )
+            return x.transpose(0, 2, 1)
+
+        def build():
+            def run(p, z):
+                return chunked_process(
+                    lambda zc: self._decode_nwc(zc, params=p), z,
+                    chunk_in=chunk_size, hop_in=chunk_size - overlap,
+                    chunk_out=chunk_size * r, hop_out=(chunk_size - overlap) * r,
+                    overlap_out=overlap * r, out_channels=self.out_channels,
+                    out_length=z.shape[1] * r, pad_mode="reflect",
+                )
+            return run
+
+        x = self._chunked_jit("decode", chunk_size, overlap, build)(
+            params if params is not None else self.params, z)
         return x.transpose(0, 2, 1)
 
     def reconstruct_audio(self, audio, chunked: bool = True, chunk_size: int = 128,
@@ -444,17 +490,37 @@ class AudioAutoencoder:
             return self.decode(self.encode(audio, params=params, **kwargs), params=params, **kwargs)
         x = audio.transpose(0, 2, 1)
 
-        def fn(xc):
-            z = self._encode_nwc(xc, params=params, **kwargs)[0]
-            return self._decode_nwc(z, params=params, **kwargs)
+        if kwargs:
+            def fn(xc):
+                z = self._encode_nwc(xc, params=params, **kwargs)[0]
+                return self._decode_nwc(z, params=params, **kwargs)
 
-        y = chunked_process(
-            fn, x,
-            chunk_in=chunk_size * r, hop_in=(chunk_size - overlap) * r,
-            chunk_out=chunk_size * r, hop_out=(chunk_size - overlap) * r,
-            overlap_out=overlap * r, out_channels=self.out_channels,
-            out_length=sample_length, pad_mode="zero",
-        )
+            y = chunked_process(
+                fn, x,
+                chunk_in=chunk_size * r, hop_in=(chunk_size - overlap) * r,
+                chunk_out=chunk_size * r, hop_out=(chunk_size - overlap) * r,
+                overlap_out=overlap * r, out_channels=self.out_channels,
+                out_length=sample_length, pad_mode="zero",
+            )
+            return y.transpose(0, 2, 1)
+
+        def build():
+            def run(p, x):
+                def fn(xc):
+                    z = self._encode_nwc(xc, params=p)[0]
+                    return self._decode_nwc(z, params=p)
+
+                return chunked_process(
+                    fn, x,
+                    chunk_in=chunk_size * r, hop_in=(chunk_size - overlap) * r,
+                    chunk_out=chunk_size * r, hop_out=(chunk_size - overlap) * r,
+                    overlap_out=overlap * r, out_channels=self.out_channels,
+                    out_length=x.shape[1], pad_mode="zero",
+                )
+            return run
+
+        y = self._chunked_jit("reconstruct", chunk_size, overlap, build)(
+            params if params is not None else self.params, x)
         return y.transpose(0, 2, 1)
 
 

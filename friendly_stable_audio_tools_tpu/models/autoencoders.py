@@ -287,7 +287,7 @@ class AudioAutoencoder:
         length = length or self.downsampling_ratio * 4
         sample_in = jnp.zeros((1, length, self.in_channels), jnp.float32)
         p_rng, s_rng = jax.random.split(rng)
-        self.params = self.module.init({"params": p_rng, "sample": s_rng}, sample_in)["params"]
+        self.params = jax.jit(self.module.init)({"params": p_rng, "sample": s_rng}, sample_in)["params"]
         return self.params
 
     def _p(self, params):

@@ -18,6 +18,8 @@ conditioners.py:147-150 — same intent, cleaner mechanism).
 
 from __future__ import annotations
 
+import functools
+
 import dataclasses
 import hashlib
 import logging
@@ -167,7 +169,7 @@ class Conditioner:
 
     def init(self, rng: jax.Array):
         arrays = self.preprocess(self.example_input())
-        self.params = self.module.init(rng, **arrays)["params"]
+        self.params = jax.jit(functools.partial(self.module.init, **arrays))(rng)["params"]
         return self.params
 
     def example_input(self):
@@ -538,7 +540,7 @@ class PretransformConditioner(Conditioner):
     def init(self, rng):
         if self.module is not None:
             z = jnp.zeros((1, 4, self.dim))
-            self.params = self.module.init(rng, z)["params"]
+            self.params = jax.jit(self.module.init)(rng, z)["params"]
         else:
             self.params = {}
         return self.params

@@ -14,6 +14,8 @@ sequence). Layout is channels-last [B, T, C] internally.
 
 from __future__ import annotations
 
+import functools
+
 import dataclasses
 import typing as tp
 
@@ -55,7 +57,7 @@ class DiffusionModelWrapper:
             kwargs["input_concat_cond" if hasattr(self.module, "input_concat_dim") else "cond"] = (
                 jnp.zeros((1, length, ic), jnp.float32)
             )
-        self.params = self.module.init(rng, x, t, **kwargs)["params"]
+        self.params = jax.jit(functools.partial(self.module.init, **kwargs))(rng, x, t)["params"]
         self.params = scale_params(self.params, 0.5)
         return self.params
 
@@ -97,7 +99,7 @@ class ConditionedDiffusionModelWrapper:
         kwargs = self._example_cond_kwargs()
         x = jnp.zeros((1, length, self.io_channels), jnp.float32)
         t = jnp.zeros((1,), jnp.float32)
-        self.params = self.module.init(rng, x, t, **kwargs)["params"]
+        self.params = jax.jit(functools.partial(self.module.init, **kwargs))(rng, x, t)["params"]
         self.params = scale_params(self.params, 0.5)
         return self.params
 

@@ -266,7 +266,7 @@ class EncodecCodec:
 
     def init(self, rng):
         x = jnp.zeros((1, self.downsampling_ratio * 2, self.channels), jnp.float32)
-        self.params = self.module.init(rng, x)["params"]
+        self.params = jax.jit(self.module.init)(rng, x)["params"]
         return self.params
 
     def _p(self, params):

@@ -15,6 +15,8 @@ pattern build/revert are single gathers (codebook_patterns.py).
 
 from __future__ import annotations
 
+import functools
+
 import dataclasses
 import typing as tp
 
@@ -122,7 +124,7 @@ class AudioLanguageModelWrapper:
             kwargs["cross_attn_cond"] = jnp.zeros((1, 2, self.module.backbone.cross_attn_cond_dim))
         if self.prepend_cond_ids:
             kwargs["prepend_cond"] = jnp.zeros((1, 2, self.module.backbone.prepend_cond_dim))
-        self.params = self.module.init(rng, seq, **kwargs)["params"]
+        self.params = jax.jit(functools.partial(self.module.init, **kwargs))(rng, seq)["params"]
         return self.params
 
     def get_conditioning_inputs(self, cond: tp.Dict[str, tp.Any], negative: bool = False):

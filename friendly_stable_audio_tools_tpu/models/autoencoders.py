@@ -340,12 +340,26 @@ class AudioAutoencoder:
     def decode_tokens(self, tokens, params=None, **kwargs):
         """Discrete tokens -> audio [B, C, T] (reference autoencoders.py:345-354)."""
         assert self.is_discrete, "decode_tokens only works with discrete autoencoders"
-        x = self.module.apply(self._p(params), tokens, method="decode_tokens", **kwargs)
-        if self.pretransform is not None:
-            x = self.pretransform.decode_nwc(x)
-        if self.soft_clip:
-            x = jnp.tanh(x)
-        return x.transpose(0, 2, 1)
+
+        def run(p, tokens):
+            x = self.module.apply({"params": p}, tokens, method="decode_tokens")
+            if self.pretransform is not None:
+                x = self.pretransform.decode_nwc(x)
+            if self.soft_clip:
+                x = jnp.tanh(x)
+            return x.transpose(0, 2, 1)
+
+        if kwargs:  # rare: non-default decode options stay on the traced-inline path
+            x = self.module.apply(self._p(params), tokens, method="decode_tokens", **kwargs)
+            if self.pretransform is not None:
+                x = self.pretransform.decode_nwc(x)
+            if self.soft_clip:
+                x = jnp.tanh(x)
+            return x.transpose(0, 2, 1)
+        if not hasattr(self, "_decode_tokens_jit"):
+            self._decode_tokens_jit = jax.jit(run)
+        p = params if params is not None else self.params
+        return self._decode_tokens_jit(p, jnp.asarray(tokens))
 
     # ---- preprocessing (host-side, numpy) --------------------------------
 

@@ -609,7 +609,13 @@ class MultiConditioner:
         return {k: self.conditioners[k].embed(params[k], **arrays[k]) for k in arrays}
 
     def __call__(self, batch_metadata: tp.List[tp.Dict[str, tp.Any]]) -> tp.Dict[str, tp.Any]:
-        return self.embed(self.params, self.preprocess(batch_metadata))
+        arrays = self.preprocess(batch_metadata)
+        # jit the embed (cached; retraces only on new array shapes/structure):
+        # a frozen-T5 forward dispatched eagerly costs seconds over the TPU
+        # dispatch path, vs one compiled program here
+        if not hasattr(self, "_embed_jit"):
+            self._embed_jit = jax.jit(self.embed)
+        return self._embed_jit(self.params, arrays)
 
 
 def create_multi_conditioner_from_conditioning_config(config: tp.Dict[str, tp.Any]) -> MultiConditioner:

@@ -59,6 +59,7 @@ class DiffusionTransformer(nn.Module):
     use_abs_pos_emb: bool = False
     abs_pos_emb_max_length: int = 10000
     ff_mult: int = 4
+    seq_shard_axis: tp.Optional[str] = None  # sequence-parallel axis (parallel/sp.py)
 
     def setup(self):
         dim_in = self.io_channels + self.input_concat_dim
@@ -99,6 +100,7 @@ class DiffusionTransformer(nn.Module):
             abs_pos_emb_max_length=self.abs_pos_emb_max_length,
             ff_mult=self.ff_mult,
             grad_checkpointing=self.grad_checkpointing,
+            seq_shard_axis=self.seq_shard_axis,
         )
 
         self.preprocess_conv = Conv1d(dim_in, dim_in, 1, use_bias=False, name="preprocess_conv")

@@ -109,6 +109,10 @@ class Attention(nn.Module):
     # true token count when inputs are pre-padded to an aligned length
     # (padded-sequence path); masks self-attention K/V at this length
     self_kv_len: tp.Optional[int] = None
+    # sequence-parallel mesh axis (parallel/sp.py): forces the XLA attention
+    # path so GSPMD can partition the einsums (an opaque Pallas call would be
+    # replicated); per-token ops shard via activation constraints upstream
+    seq_shard_axis: tp.Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -221,8 +225,9 @@ class Attention(nn.Module):
             out = windowed_attention(q, k, v, self.natten_kernel_size, mask=attn_mask)
         else:
             kv_len = self.self_kv_len if (not has_context and kv_cache is None) else None
+            impl = "xla" if self.seq_shard_axis is not None else "auto"
             out = scaled_dot_product_attention(q, k, v, mask=attn_mask, causal=causal,
-                                               kv_len=kv_len)
+                                               kv_len=kv_len, implementation=impl)
 
         b, _, n, _ = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
@@ -274,6 +279,7 @@ class TransformerBlock(nn.Module):
     natten_kernel_size: tp.Optional[int] = None
     ff_mult: int = 4
     self_kv_len: tp.Optional[int] = None  # see Attention.self_kv_len
+    seq_shard_axis: tp.Optional[str] = None  # see Attention.seq_shard_axis
 
     @nn.compact
     def __call__(
@@ -294,7 +300,8 @@ class TransformerBlock(nn.Module):
             self.dim, self.dim_heads, causal=self.causal,
             zero_init_output=self.zero_init_branch_outputs,
             qk_norm=self.qk_norm, natten_kernel_size=self.natten_kernel_size,
-            self_kv_len=self.self_kv_len, name="self_attn",
+            self_kv_len=self.self_kv_len, seq_shard_axis=self.seq_shard_axis,
+            name="self_attn",
         )
         pre_norm = norm(self.dim, "pre_norm")
         ff = FeedForward(self.dim, mult=self.ff_mult, zero_init_output=self.zero_init_branch_outputs, name="ff")
@@ -382,6 +389,9 @@ class ContinuousTransformer(nn.Module):
     natten_kernel_size: tp.Optional[int] = None
     ff_mult: int = 4
     grad_checkpointing: bool = False
+    # sequence-parallel mesh axis name (parallel/sp.py); activations shard
+    # [B, T/n, C] per chip, attention partitions via GSPMD
+    seq_shard_axis: tp.Optional[str] = None
 
     def _block(self, i, remat: bool = False,
                self_kv_len: tp.Optional[int] = None) -> TransformerBlock:
@@ -399,6 +409,7 @@ class ContinuousTransformer(nn.Module):
             natten_kernel_size=self.natten_kernel_size,
             ff_mult=self.ff_mult,
             self_kv_len=self_kv_len,
+            seq_shard_axis=self.seq_shard_axis,
             name=f"layer{i}",
         )
 
@@ -454,6 +465,7 @@ class ContinuousTransformer(nn.Module):
         use_seq_pad = (
             mask is None and kv_caches is None and not return_kv
             and not self.causal and self.natten_kernel_size is None
+            and self.seq_shard_axis is None
             and not return_info and valid_len >= 1024 and pad_ratio_ok
             and self.dim_heads <= 128
             and (jax.default_backend() not in ("cpu",)
@@ -484,6 +496,11 @@ class ContinuousTransformer(nn.Module):
         elif self.use_abs_pos_emb:
             x = x + AbsolutePositionalEmbedding(self.dim, self.abs_pos_emb_max_length, name="pos_emb")(x)
 
+        if self.seq_shard_axis is not None:
+            from ..parallel.sp import seq_constraint
+
+            x = seq_constraint(x, self.seq_shard_axis)
+
         new_kvs = []
         for i in range(self.depth):
             layer_kv = kv_caches[i] if kv_caches is not None else None
@@ -499,6 +516,10 @@ class ContinuousTransformer(nn.Module):
                     x, context=context, global_cond=global_cond, mask=mask,
                     context_mask=context_mask, rotary_pos_emb=rot,
                 )
+            if self.seq_shard_axis is not None:
+                from ..parallel.sp import seq_constraint
+
+                x = seq_constraint(x, self.seq_shard_axis)
             if return_info:
                 info["hidden_states"].append(x)
 

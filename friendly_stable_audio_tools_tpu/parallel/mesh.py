@@ -29,17 +29,21 @@ def create_mesh(
     data: tp.Optional[int] = None,
     fsdp: int = 1,
     tensor: int = 1,
+    seq: int = 1,
     devices=None,
 ) -> Mesh:
-    """Build a ('data', 'fsdp', 'tensor') mesh. Defaults to pure data
-    parallelism over all local devices."""
+    """Build a ('data', 'fsdp', 'tensor', 'seq') mesh. Defaults to pure data
+    parallelism over all local devices; `seq` is the sequence-parallel axis
+    for long-form DiT inference (parallel/sp.py)."""
     devices = devices if devices is not None else jax.devices()
     n = n_devices or len(devices)
     devices = np.asarray(devices[:n])
     if data is None:
-        data = n // (fsdp * tensor)
-    assert data * fsdp * tensor == n, f"mesh {data}x{fsdp}x{tensor} != {n} devices"
-    return Mesh(devices.reshape(data, fsdp, tensor), ("data", "fsdp", "tensor"))
+        data = n // (fsdp * tensor * seq)
+    assert data * fsdp * tensor * seq == n, \
+        f"mesh {data}x{fsdp}x{tensor}x{seq} != {n} devices"
+    return Mesh(devices.reshape(data, fsdp, tensor, seq),
+                ("data", "fsdp", "tensor", "seq"))
 
 
 def shard_batch(batch, mesh: Mesh):

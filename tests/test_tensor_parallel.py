@@ -85,3 +85,41 @@ def test_tp_gradients(dit_and_params):
                                 jax.tree_util.tree_leaves_with_path(got_grads)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5,
                                    err_msg=jax.tree_util.keystr(pa))
+
+
+def test_sequence_parallel_matches_replicated(dit_and_params):
+    """seq_shard_axis: activations shard [B, T/n, C] over the 'seq' axis,
+    attention partitions through the XLA path; output == unsharded."""
+    from friendly_stable_audio_tools_tpu.parallel.mesh import replicate
+
+    dit, params, (x, t, c, g) = dit_and_params
+    ref = _forward(dit)(params, x, t, c, g)
+
+    sp_dit = DiffusionTransformer(
+        io_channels=8, embed_dim=64, depth=2, num_heads=4,
+        cond_token_dim=16, global_cond_dim=16,
+        transformer_type="continuous_transformer", global_cond_type="prepend",
+        seq_shard_axis="seq",
+    )
+    mesh = create_mesh(8, data=2, seq=4)
+    sp_params = replicate(params, mesh)
+    with mesh:
+        got = jax.jit(_forward(sp_dit))(sp_params, x, t, c, g)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_sequence_parallel_composes_with_tp(dit_and_params):
+    dit, params, (x, t, c, g) = dit_and_params
+    ref = _forward(dit)(params, x, t, c, g)
+
+    sp_dit = DiffusionTransformer(
+        io_channels=8, embed_dim=64, depth=2, num_heads=4,
+        cond_token_dim=16, global_cond_dim=16,
+        transformer_type="continuous_transformer", global_cond_type="prepend",
+        seq_shard_axis="seq",
+    )
+    mesh = create_mesh(8, data=1, tensor=2, seq=4)
+    sharded = tp_shard_params(params, mesh)
+    with mesh:
+        got = jax.jit(_forward(sp_dit))(sharded, x, t, c, g)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)

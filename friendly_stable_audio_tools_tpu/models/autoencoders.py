@@ -316,10 +316,23 @@ class AudioAutoencoder:
         return (z, info) if return_info else z
 
     def _encode_nwc(self, x, params=None, rng=None, **kwargs):
-        rngs = {"sample": rng} if rng is not None else {}
-        return self.module.apply(
-            self._p(params), x, return_info=True, method="encode", rngs=rngs, **kwargs
-        )
+        if kwargs:
+            rngs = {"sample": rng} if rng is not None else {}
+            return self.module.apply(
+                self._p(params), x, return_info=True, method="encode", rngs=rngs, **kwargs
+            )
+        # default path: cached jit so host callers (pretransform encode, the
+        # prior's stereoize, reconstruct CLI) get one compiled program instead
+        # of eager per-op dispatch; inlined harmlessly under outer jits
+        if not hasattr(self, "_enc_jit"):
+            def run(p, x, rng):
+                rngs = {"sample": rng} if rng is not None else {}
+                return self.module.apply(
+                    {"params": p}, x, return_info=True, method="encode", rngs=rngs
+                )
+
+            self._enc_jit = jax.jit(run)
+        return self._enc_jit(self._p(params)["params"], x, rng)
 
     def decode(self, latents, iterate_batch: tp.Union[bool, int] = False, params=None,
                rng: tp.Optional[jax.Array] = None, **kwargs):
@@ -334,8 +347,16 @@ class AudioAutoencoder:
         return x.transpose(0, 2, 1)
 
     def _decode_nwc(self, z, params=None, rng=None, **kwargs):
-        rngs = {"sample": rng} if rng is not None else {}
-        return self.module.apply(self._p(params), z, method="decode", rngs=rngs, **kwargs)
+        if kwargs:
+            rngs = {"sample": rng} if rng is not None else {}
+            return self.module.apply(self._p(params), z, method="decode", rngs=rngs, **kwargs)
+        if not hasattr(self, "_dec_jit"):
+            def run(p, z, rng):
+                rngs = {"sample": rng} if rng is not None else {}
+                return self.module.apply({"params": p}, z, method="decode", rngs=rngs)
+
+            self._dec_jit = jax.jit(run)
+        return self._dec_jit(self._p(params)["params"], z, rng)
 
     def decode_tokens(self, tokens, params=None, **kwargs):
         """Discrete tokens -> audio [B, C, T] (reference autoencoders.py:345-354)."""
@@ -649,32 +670,42 @@ class DiffusionAutoencoder(AudioAutoencoder):
 
     def decode(self, latents, steps: int = 100, rng: tp.Optional[jax.Array] = None, params=None, **kwargs):
         """latents [B, latent_dim, L] -> audio via diffusion sampling
-        conditioned on nearest-upsampled latents (reference 673-690)."""
+        conditioned on nearest-upsampled latents (reference 673-690).
+        The whole pipeline (bottleneck decode -> upsample -> sampler scan ->
+        pretransform decode) runs as one cached jitted program per `steps`."""
         from ..inference.sampling import sample
 
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        z = jnp.asarray(latents).transpose(0, 2, 1)  # [B, L, C]
-        upsampled_length = z.shape[1] * self.downsampling_ratio
+        z0 = jnp.asarray(latents).transpose(0, 2, 1)  # [B, L, C]
 
-        if self.module.bottleneck is not None:
-            z = self.module.apply(self._p(params), z, method=lambda m, a: m.bottleneck.decode(a))
-        if self.module.decoder is not None:
-            z = self._decode_nwc(z, params=params)
+        def run(ae_params, diff_params, z, key):
+            upsampled_length = z.shape[1] * self.downsampling_ratio
+            if self.module.bottleneck is not None:
+                z = self.module.apply({"params": ae_params}, z,
+                                      method=lambda m, a: m.bottleneck.decode(a))
+            if self.module.decoder is not None:
+                z = self.module.apply({"params": ae_params}, z, method="decode")
+            if z.shape[1] != upsampled_length:
+                idx = (jnp.arange(upsampled_length) * z.shape[1]) // upsampled_length
+                z = z[:, idx, :]
+            k_noise, k_sample = jax.random.split(key)
+            noise = jax.random.normal(
+                k_noise, (z.shape[0], upsampled_length, self.io_channels), jnp.float32)
 
-        if z.shape[1] != upsampled_length:
-            idx = (jnp.arange(upsampled_length) * z.shape[1]) // upsampled_length
-            z = z[:, idx, :]
+            def model_fn(x, t, **kw):
+                return self.diffusion.forward(diff_params, x, t, **kw)
 
-        k_noise, k_sample = jax.random.split(rng)
-        noise = jax.random.normal(k_noise, (z.shape[0], upsampled_length, self.io_channels), jnp.float32)
+            decoded = sample(model_fn, noise, steps, 0, rng=k_sample, input_concat_cond=z)
+            if self.pretransform is not None:
+                decoded = self.pretransform.decode_nwc(decoded)
+            return decoded
 
-        def model_fn(x, t, **kw):
-            return self.diffusion.forward(self.diffusion.params, x, t, **kw)
-
-        decoded = sample(model_fn, noise, steps, 0, rng=k_sample, input_concat_cond=z)
-
-        if self.pretransform is not None:
-            decoded = self.pretransform.decode_nwc(decoded)
+        if not hasattr(self, "_diffdec_jits"):
+            self._diffdec_jits = {}
+        if steps not in self._diffdec_jits:
+            self._diffdec_jits[steps] = jax.jit(run)
+        ae_params = params if params is not None else self.params
+        decoded = self._diffdec_jits[steps](ae_params, self.diffusion.params, z0, rng)
         return decoded.transpose(0, 2, 1)
 
 

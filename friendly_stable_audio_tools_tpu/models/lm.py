@@ -282,7 +282,8 @@ class AudioLanguageModelWrapper:
         def dup(a):
             return jnp.concatenate([a, a], axis=0) if use_cfg else a
 
-        def run(params, gen_sequence, rng):
+        def run(params, gen_sequence, mask_j, cross_attn_cond, prepend_cond,
+                prepend_cond_mask, global_cond, rng):
             caches = self.module.apply(
                 {"params": params}, eff_batch, S, prepend_len, method="init_cache")
 
@@ -294,8 +295,6 @@ class AudioLanguageModelWrapper:
                 cross_attn_cond=cross_attn_cond, global_cond=global_cond,
                 method="decode_step",
             )
-
-            mask_j = jnp.asarray(mask)  # [K, S]
 
             def body(carry, offset):
                 gen_sequence, caches, logits, rng = carry
@@ -320,7 +319,19 @@ class AudioLanguageModelWrapper:
             (gen_sequence, *_), _ = jax.lax.scan(body, (gen_sequence, caches, logits, rng), offsets)
             return gen_sequence
 
-        gen_sequence = jax.jit(run)(params, gen_sequence, rng)
+        # cache the jitted scan per static generation config — conditioning
+        # tensors are ARGUMENTS, so a new prompt reuses the compiled program
+        # (a fresh closure per call would bake conds as constants and retrace
+        # every generate() invocation)
+        gen_key = (S, start_offset_sequence, eff_batch, prepend_len, use_cfg,
+                   float(cfg_scale), int(top_k), float(top_p), float(temp))
+        if not hasattr(self, "_gen_jits"):
+            self._gen_jits = {}
+        if gen_key not in self._gen_jits:
+            self._gen_jits[gen_key] = jax.jit(run)
+        gen_sequence = self._gen_jits[gen_key](
+            params, gen_sequence, jnp.asarray(mask), cross_attn_cond, prepend_cond,
+            prepend_cond_mask, global_cond, rng)
 
         out_codes, _, out_mask = pattern.revert_pattern_sequence(gen_sequence, special_token=unknown_token)
         out_codes = np.asarray(out_codes)

@@ -465,6 +465,27 @@ def convert_lm_state_dict(sd: dict) -> dict:
     return out
 
 
+def convert_conditioner_state_dict(sd: dict, prefix: str) -> dict:
+    """Trainable conditioner params under `conditioner.conditioners.<id>`:
+    LUT/phoneme token_embedder (reference conditioners.py:408-468), int
+    embedder (:40-61), NumberConditioner Fourier embedder (:64-102), and the
+    shared proj_out Linear (:31). Frozen hub models (T5/CLAP) are excluded
+    from reference checkpoints and need no conversion."""
+    out: dict = {}
+    if f"{prefix}.token_embedder.weight" in sd:
+        _set(out, "token_embedder/embedding", np.asarray(sd[f"{prefix}.token_embedder.weight"]))
+    if f"{prefix}.int_embedder.weight" in sd:
+        _set(out, "int_embedder/embedding", np.asarray(sd[f"{prefix}.int_embedder.weight"]))
+    if f"{prefix}.proj_out.weight" in sd:
+        _set(out, "proj_out/kernel", _t_linear(sd[f"{prefix}.proj_out.weight"]))
+        if f"{prefix}.proj_out.bias" in sd:
+            _set(out, "proj_out/bias", np.asarray(sd[f"{prefix}.proj_out.bias"]))
+    if f"{prefix}.embedder.embedding.0.weights" in sd:
+        for k, v in convert_number_conditioner(sd, prefix).items():
+            out[k] = v
+    return out
+
+
 def convert_number_conditioner(sd: dict, prefix: str) -> dict:
     """NumberConditioner.embedder = NumberEmbedder(TimePositionalEmbedding)
     (reference conditioners.py:64-102, adp.py:1495-1514)."""
@@ -524,6 +545,22 @@ def convert_checkpoint(ckpt_path: str, model_config_path: str, out_path: str) ->
     print(f"Converted {ckpt_path} -> {out_path}")
 
 
+def _load_conditioners(model, sd: dict) -> None:
+    """Copy trainable conditioner params (LUT/int/number/proj_out) from a
+    reference checkpoint onto the model's MultiConditioner."""
+    from .common import copy_state_dict
+
+    conditioner = getattr(model, "conditioner", None)
+    if conditioner is None:
+        return
+    for cid, cond in conditioner.conditioners.items():
+        conv = convert_conditioner_state_dict(sd, f"conditioner.conditioners.{cid}")
+        if conv and cond.params is not None:
+            cond.params = copy_state_dict(cond.params, conv)
+        elif conv:
+            cond.params = conv
+
+
 def load_torch_checkpoint_into_model(model, ckpt_path: str, model_config: dict) -> None:
     """Load a reference-format unwrapped checkpoint into a built model."""
     from ..models.utils import load_ckpt_state_dict
@@ -549,20 +586,7 @@ def load_torch_checkpoint_into_model(model, ckpt_path: str, model_config: dict) 
             model.init(jax.random.PRNGKey(0))
         converted = convert_dit_state_dict(sd, "model.model.")
         model.params = copy_state_dict(model.params, converted)
-        # conditioners
-        if model.conditioner is not None:
-            for cid, cond in model.conditioner.conditioners.items():
-                cprefix = f"conditioner.conditioners.{cid}"
-                try:
-                    from ..models.conditioners import NumberConditioner
-
-                    if isinstance(cond, NumberConditioner):
-                        conv = convert_number_conditioner(sd, cprefix)
-                        cond.params = copy_state_dict(cond.params, {"embed" if "embed" in (cond.params or {}) else "embedder": conv.get("embedder", conv)}) if cond.params else conv
-                        # structure: module M wraps NumberEmbedder under name "embedder"
-                        cond.params = copy_state_dict(cond.params, conv)
-                except KeyError:
-                    pass
+        _load_conditioners(model, sd)
         # pretransform VAE weights may be embedded under pretransform.model.*
         if model.pretransform is not None and any(k.startswith("pretransform.model.") for k in sd):
             sub = {k[len("pretransform.model."):]: v for k, v in sd.items() if k.startswith("pretransform.model.")}
@@ -591,6 +615,7 @@ def load_torch_checkpoint_into_model(model, ckpt_path: str, model_config: dict) 
         if model.params is None:
             model.init(jax.random.PRNGKey(0))
         model.params = copy_state_dict(model.params, convert_lm_state_dict(sd))
+        _load_conditioners(model, sd)
         return
 
     if model_type == "diffusion_autoencoder":

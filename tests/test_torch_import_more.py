@@ -82,12 +82,21 @@ def test_lm_torch_import_end_to_end(tmp_path):
 
     model = create_model_from_config(TINY_LM_CONFIG, init_rng=jax.random.PRNGKey(0))
     sd = make_lm_state_dict()
+    # trainable LUT conditioner params live in reference LM checkpoints
+    # (conditioners.py:408-468): token_embedder under conditioner.conditioners
+    lut = model.conditioner.conditioners["prompt"]
+    vocab, dim = np.asarray(lut.params["token_embedder"]["embedding"]).shape
+    sd["conditioner.conditioners.prompt.token_embedder.weight"] = (
+        RNG.randn(vocab, dim).astype(np.float32))
     np.savez(tmp_path / "lm.npz", **sd)
     load_torch_checkpoint_into_model(model, str(tmp_path / "lm.npz"), TINY_LM_CONFIG)
     got = np.asarray(model.params["embed0"]["embedding"])
     np.testing.assert_allclose(got, sd["lm.embeddings.0.weight"])
     got_head = np.asarray(model.params["head1"]["kernel"])
     np.testing.assert_allclose(got_head, sd["lm.quantizer_heads.1.weight"].T)
+    got_lut = np.asarray(lut.params["token_embedder"]["embedding"])
+    np.testing.assert_allclose(
+        got_lut, sd["conditioner.conditioners.prompt.token_embedder.weight"])
 
 
 # ---------------------------------------------------------------------------

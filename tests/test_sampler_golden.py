@@ -1,0 +1,123 @@
+"""Golden math tests for the SDE multistep samplers.
+
+Independent numpy transcriptions of the k-diffusion algorithms (the
+reference's samplers, inference/sampling.py:210-228: DPM-Solver++(2M/3M) SDE
+in t = -log(sigma) parameterization) are run with the EXACT noise sequence
+the jitted scans consume (replicating their key-split pattern), and the
+trajectories must agree. This validates the multistep history handling,
+phi-coefficients, and SDE noise scaling independently of the scan plumbing —
+SURVEY.md §7 'k-diffusion sampler fidelity'.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from friendly_stable_audio_tools_tpu.inference.sampling import (
+    get_sigmas_polyexponential, sample_dpmpp_2m_sde, sample_dpmpp_3m_sde,
+)
+
+SHAPE = (2, 8, 4)
+
+
+def _denoiser(x, sigma):
+    # deterministic pseudo-model: contraction toward a fixed target
+    return x * (1.0 / (1.0 + sigma)) + 0.1 * sigma / (1.0 + sigma)
+
+
+def _extract_noises(rng, steps, shape):
+    """Replicate the scans' key usage: split(rng, steps) -> per step
+    split -> (k_merge, k_noise); noise = normal(k_noise, shape)."""
+    keys = jax.random.split(rng, steps)
+    noises = []
+    for i in range(steps):
+        _, k_noise = jax.random.split(keys[i])
+        noises.append(np.asarray(jax.random.normal(k_noise, shape, jnp.float32)))
+    return noises
+
+
+def np_dpmpp_3m_sde(denoiser, x, sigmas, noises, eta=1.0, s_noise=1.0):
+    x = x.astype(np.float64)
+    d1 = d2 = None
+    h1 = h2 = None
+    for i in range(len(sigmas) - 1):
+        denoised = denoiser(x, sigmas[i])
+        if sigmas[i + 1] == 0:
+            x = denoised
+        else:
+            t, s = -np.log(sigmas[i]), -np.log(sigmas[i + 1])
+            h = s - t
+            h_eta = h * (eta + 1.0)
+            x = np.exp(-h_eta) * x + (-np.expm1(-h_eta)) * denoised
+            if h2 is not None:
+                r0, r1 = h1 / h, h2 / h
+                d1_0 = (denoised - d1) / r0
+                d1_1 = (d1 - d2) / r1
+                d = d1_0 + (d1_0 - d1_1) * r0 / (r0 + r1)
+                dd = (d1_0 - d1_1) / (r0 + r1)
+                phi_2 = np.expm1(-h_eta) / h_eta + 1.0
+                phi_3 = phi_2 / h_eta - 0.5
+                x = x + phi_2 * d - phi_3 * dd
+            elif h1 is not None:
+                r = h1 / h
+                d = (denoised - d1) / r
+                phi_2 = np.expm1(-h_eta) / h_eta + 1.0
+                x = x + phi_2 * d
+            if eta:
+                x = x + noises[i] * sigmas[i + 1] * np.sqrt(-np.expm1(-2.0 * h * eta)) * s_noise
+            h2, h1 = h1, h
+        d2, d1 = d1, denoised
+    return x
+
+
+def np_dpmpp_2m_sde(denoiser, x, sigmas, noises, eta=1.0, s_noise=1.0):
+    """solver_type='midpoint' variant (the k-diffusion default used by the
+    reference)."""
+    x = x.astype(np.float64)
+    old_denoised = None
+    h_last = None
+    for i in range(len(sigmas) - 1):
+        denoised = denoiser(x, sigmas[i])
+        if sigmas[i + 1] == 0:
+            x = denoised
+        else:
+            t, s = -np.log(sigmas[i]), -np.log(sigmas[i + 1])
+            h = s - t
+            eta_h = eta * h
+            x = (sigmas[i + 1] / sigmas[i]) * np.exp(-eta_h) * x \
+                + (-np.expm1(-h - eta_h)) * denoised
+            if old_denoised is not None:
+                r = h_last / h
+                x = x + 0.5 * (-np.expm1(-h - eta_h)) * (1.0 / r) * (denoised - old_denoised)
+            x = x + noises[i] * sigmas[i + 1] * np.sqrt(-np.expm1(-2.0 * eta_h)) * s_noise
+            h_last = h
+        old_denoised = denoised
+    return x
+
+
+def test_dpmpp_3m_sde_matches_numpy_reference():
+    rng = jax.random.PRNGKey(42)
+    steps = 12
+    sigmas = np.asarray(get_sigmas_polyexponential(steps, 0.3, 50.0, 1.0), np.float64)
+    x0 = np.random.RandomState(0).randn(*SHAPE).astype(np.float32)
+    noises = _extract_noises(rng, steps, SHAPE)
+
+    ref = np_dpmpp_3m_sde(_denoiser, x0.copy(), sigmas, noises)
+
+    got = sample_dpmpp_3m_sde(
+        lambda x, s: _denoiser(x, s), jnp.asarray(x0), jnp.asarray(sigmas, jnp.float32), rng)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_dpmpp_2m_sde_matches_numpy_reference():
+    rng = jax.random.PRNGKey(7)
+    steps = 10
+    sigmas = np.asarray(get_sigmas_polyexponential(steps, 0.5, 80.0, 1.0), np.float64)
+    x0 = np.random.RandomState(1).randn(*SHAPE).astype(np.float32)
+    noises = _extract_noises(rng, steps, SHAPE)
+
+    ref = np_dpmpp_2m_sde(_denoiser, x0.copy(), sigmas, noises)
+
+    got = sample_dpmpp_2m_sde(
+        lambda x, s: _denoiser(x, s), jnp.asarray(x0), jnp.asarray(sigmas, jnp.float32), rng)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-4)

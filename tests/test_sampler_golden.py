@@ -121,3 +121,28 @@ def test_dpmpp_2m_sde_matches_numpy_reference():
     got = sample_dpmpp_2m_sde(
         lambda x, s: _denoiser(x, s), jnp.asarray(x0), jnp.asarray(sigmas, jnp.float32), rng)
     np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_v_denoiser_matches_k_diffusion_formula():
+    """make_v_denoiser == k-diffusion VDenoiser: c_skip = 1/(s^2+1),
+    c_out = -s/sqrt(s^2+1), c_in = 1/sqrt(s^2+1), t = atan(s)/(pi/2)."""
+    from friendly_stable_audio_tools_tpu.inference.sampling import make_v_denoiser
+
+    calls = []
+
+    def model(x, t):
+        calls.append((np.asarray(x), np.asarray(t)))
+        return 2.0 * x
+
+    den = make_v_denoiser(model, {})
+    x = np.random.RandomState(3).randn(3, 5, 2).astype(np.float32)
+    for s in (0.3, 1.0, 57.0):
+        got = np.asarray(den(jnp.asarray(x), s))
+        c_skip = 1.0 / (s**2 + 1.0)
+        c_out = -s / np.sqrt(s**2 + 1.0)
+        c_in = 1.0 / np.sqrt(s**2 + 1.0)
+        ref = (2.0 * c_in * x) * c_out + x * c_skip
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(calls[-1][1],
+                                   np.full((3,), np.arctan(s) / np.pi * 2, np.float32),
+                                   rtol=1e-6)

@@ -146,3 +146,19 @@ def test_v_denoiser_matches_k_diffusion_formula():
         np.testing.assert_allclose(calls[-1][1],
                                    np.full((3,), np.arctan(s) / np.pi * 2, np.float32),
                                    rtol=1e-6)
+
+
+def test_inverse_lr_matches_reference_closed_form():
+    """inverse_lr_schedule == the reference's InverseLR._get_closed_form_lr
+    (training/scheduler.py:40-44): warmup * max(final_lr, base * mult),
+    checked at the SAO config hyperparameters."""
+    from friendly_stable_audio_tools_tpu.training.scheduler import inverse_lr_schedule
+
+    base, inv_gamma, power, warmup, final = 5e-5, 200000.0, 0.5, 0.999, 1e-7
+    sched = inverse_lr_schedule(base, inv_gamma=inv_gamma, power=power,
+                                warmup=warmup, final_lr=final)
+    for step in (0, 1, 10, 999, 200000, 5_000_000):
+        w = 1 - warmup ** (step + 1)
+        mult = (1 + step / inv_gamma) ** -power
+        ref = w * max(final, base * mult)
+        np.testing.assert_allclose(float(sched(step)), ref, rtol=1e-6)

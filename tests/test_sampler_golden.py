@@ -162,3 +162,23 @@ def test_inverse_lr_matches_reference_closed_form():
         mult = (1 + step / inv_gamma) ** -power
         ref = w * max(final, base * mult)
         np.testing.assert_allclose(float(sched(step)), ref, rtol=1e-6)
+
+
+def test_ema_decay_matches_ema_pytorch_schedule():
+    """ema_decay == ema_pytorch.EMA.get_current_decay: clamp(1 - (1 +
+    epoch/inv_gamma)^-power, min_value, beta), epoch = clamp(step -
+    update_after_step - 1, 0), 0 while epoch <= 0 (the reference trains with
+    beta=0.9999, power=3/4, training/diffusion.py:53-59)."""
+    from friendly_stable_audio_tools_tpu.training.ema import ema_decay
+
+    beta, power, inv_gamma, after = 0.9999, 0.75, 1.0, 1
+    for step in (0, 1, 2, 3, 10, 100, 10_000, 1_000_000):
+        epoch = max(step - after - 1, 0)
+        if epoch <= 0:
+            ref = 0.0
+        else:
+            ref = min(max(1 - (1 + epoch / inv_gamma) ** -power, 0.0), beta)
+        np.testing.assert_allclose(float(ema_decay(step, beta=beta, power=power,
+                                                   inv_gamma=inv_gamma,
+                                                   update_after_step=after)),
+                                   ref, rtol=1e-6, atol=1e-9)

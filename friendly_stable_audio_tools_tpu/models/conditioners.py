@@ -105,9 +105,12 @@ class SimpleTokenizer:
     """Deterministic hash tokenizer used when HF tokenizers are unavailable
     (zero-egress environments without cached vocab files). NOT compatible with
     pretrained checkpoints — use only for from-scratch training and smoke
-    tests; a loud warning is emitted once."""
+    tests; a loud warning is emitted once. Pretrained-weight loading paths
+    (models/pretrained.py, utils/torch_import.py) hard-fail when they detect
+    this fallback via `is_fallback`."""
 
     warned = False
+    is_fallback = True
 
     def __init__(self, vocab_size: int = 32100):
         self.vocab_size = vocab_size
@@ -135,7 +138,41 @@ class SimpleTokenizer:
         return {"input_ids": ids, "attention_mask": mask}
 
 
-def get_hf_tokenizer(name: str, fallback_vocab: int = 32100):
+def _find_spiece_model(name: str, tokenizer_path: tp.Optional[str]) -> tp.Optional[str]:
+    """Locate a local sentencepiece `spiece.model` for `name`.
+
+    Search order: explicit `tokenizer_path` (file or directory), then
+    `$FSAT_TOKENIZER_DIR/{,<name>/}spiece.model`.
+    """
+    import os
+
+    candidates = []
+    if tokenizer_path:
+        if os.path.isdir(tokenizer_path):
+            candidates.append(os.path.join(tokenizer_path, "spiece.model"))
+        else:
+            candidates.append(tokenizer_path)
+    root = os.environ.get("FSAT_TOKENIZER_DIR")
+    if root:
+        candidates.append(os.path.join(root, name, "spiece.model"))
+        candidates.append(os.path.join(root, "spiece.model"))
+    for c in candidates:
+        if os.path.isfile(c):
+            return c
+    if tokenizer_path:
+        raise FileNotFoundError(f"tokenizer_path={tokenizer_path!r}: no spiece.model found")
+    return None
+
+
+def get_hf_tokenizer(name: str, fallback_vocab: int = 32100,
+                     tokenizer_path: tp.Optional[str] = None):
+    """Tokenizer resolution ladder: local spiece.model (native sentencepiece
+    loader — no external dep) -> HF AutoTokenizer -> hash fallback."""
+    spiece = _find_spiece_model(name, tokenizer_path)
+    if spiece is not None:
+        from .sentencepiece import SentencePieceUnigramTokenizer
+
+        return SentencePieceUnigramTokenizer.from_file(spiece)
     try:
         previous = logging.root.manager.disable
         logging.disable(logging.ERROR)
@@ -249,7 +286,8 @@ class T5Conditioner(Conditioner):
     T5_MODEL_DIMS = T5_MODEL_DIMS
 
     def __init__(self, output_dim: int, t5_model_name: str = "t5-base",
-                 max_length: int = 128, enable_grad: bool = False, project_out: bool = False):
+                 max_length: int = 128, enable_grad: bool = False, project_out: bool = False,
+                 tokenizer_path: tp.Optional[str] = None):
         assert t5_model_name in T5_CONFIGS, f"Unknown T5 model name: {t5_model_name}"
         dim = T5_MODEL_DIMS[t5_model_name]
         super().__init__(dim, output_dim, project_out=project_out)
@@ -257,7 +295,8 @@ class T5Conditioner(Conditioner):
         self.max_length = max_length
         self.enable_grad = enable_grad
         self.trainable = enable_grad
-        self.tokenizer = get_hf_tokenizer(t5_model_name, T5_CONFIGS[t5_model_name].vocab_size)
+        self.tokenizer = get_hf_tokenizer(t5_model_name, T5_CONFIGS[t5_model_name].vocab_size,
+                                          tokenizer_path=tokenizer_path)
 
         cfg = T5_CONFIGS[t5_model_name]
         has_proj = self.has_proj_out
@@ -348,9 +387,9 @@ class TokenizerLUTConditioner(Conditioner):
     """LUT over a pretrained tokenizer's vocab (reference conditioners.py:408-468)."""
 
     def __init__(self, tokenizer_name: str, output_dim: int, max_length: int = 1024,
-                 project_out: bool = False):
+                 project_out: bool = False, tokenizer_path: tp.Optional[str] = None):
         super().__init__(output_dim, output_dim, project_out=project_out)
-        self.tokenizer = get_hf_tokenizer(tokenizer_name)
+        self.tokenizer = get_hf_tokenizer(tokenizer_name, tokenizer_path=tokenizer_path)
         self.max_length = max_length
         self.module = _LUTWithMask(len(self.tokenizer), output_dim, self.has_proj_out)
 

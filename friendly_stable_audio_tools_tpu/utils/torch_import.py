@@ -563,9 +563,11 @@ def _load_conditioners(model, sd: dict) -> None:
 
 def load_torch_checkpoint_into_model(model, ckpt_path: str, model_config: dict) -> None:
     """Load a reference-format unwrapped checkpoint into a built model."""
+    from ..models.pretrained import assert_no_fallback_tokenizers
     from ..models.utils import load_ckpt_state_dict
     from .common import copy_state_dict
 
+    assert_no_fallback_tokenizers(model, context=f"load_torch_checkpoint_into_model({ckpt_path!r})")
     sd = load_ckpt_state_dict(ckpt_path)
     model_type = model_config["model_type"]
 

@@ -358,14 +358,27 @@ class AudioAutoencoder:
             self._dec_jit = jax.jit(run)
         return self._dec_jit(self._p(params)["params"], z, rng)
 
+    def _pt_jit_params(self):
+        """Pretransform params to pass as an explicit jit argument (never
+        baked as compile-time constants — stale-weight hazard otherwise;
+        filterbank pretransforms have no params and return None)."""
+        if self.pretransform is None:
+            return None
+        return getattr(getattr(self.pretransform, "model", None), "params", None)
+
+    def _pt_decode(self, x, pt_params):
+        if pt_params is not None:
+            return self.pretransform.decode_nwc(x, params=pt_params)
+        return self.pretransform.decode_nwc(x)
+
     def decode_tokens(self, tokens, params=None, **kwargs):
         """Discrete tokens -> audio [B, C, T] (reference autoencoders.py:345-354)."""
         assert self.is_discrete, "decode_tokens only works with discrete autoencoders"
 
-        def run(p, tokens):
+        def run(p, pt_params, tokens):
             x = self.module.apply({"params": p}, tokens, method="decode_tokens")
             if self.pretransform is not None:
-                x = self.pretransform.decode_nwc(x)
+                x = self._pt_decode(x, pt_params)
             if self.soft_clip:
                 x = jnp.tanh(x)
             return x.transpose(0, 2, 1)
@@ -380,7 +393,7 @@ class AudioAutoencoder:
         if not hasattr(self, "_decode_tokens_jit"):
             self._decode_tokens_jit = jax.jit(run)
         p = params if params is not None else self.params
-        return self._decode_tokens_jit(p, jnp.asarray(tokens))
+        return self._decode_tokens_jit(p, self._pt_jit_params(), jnp.asarray(tokens))
 
     # ---- preprocessing (host-side, numpy) --------------------------------
 
@@ -678,7 +691,7 @@ class DiffusionAutoencoder(AudioAutoencoder):
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         z0 = jnp.asarray(latents).transpose(0, 2, 1)  # [B, L, C]
 
-        def run(ae_params, diff_params, z, key):
+        def run(ae_params, diff_params, pt_params, z, key):
             upsampled_length = z.shape[1] * self.downsampling_ratio
             if self.module.bottleneck is not None:
                 z = self.module.apply({"params": ae_params}, z,
@@ -697,7 +710,7 @@ class DiffusionAutoencoder(AudioAutoencoder):
 
             decoded = sample(model_fn, noise, steps, 0, rng=k_sample, input_concat_cond=z)
             if self.pretransform is not None:
-                decoded = self.pretransform.decode_nwc(decoded)
+                decoded = self._pt_decode(decoded, pt_params)
             return decoded
 
         if not hasattr(self, "_diffdec_jits"):
@@ -705,7 +718,8 @@ class DiffusionAutoencoder(AudioAutoencoder):
         if steps not in self._diffdec_jits:
             self._diffdec_jits[steps] = jax.jit(run)
         ae_params = params if params is not None else self.params
-        decoded = self._diffdec_jits[steps](ae_params, self.diffusion.params, z0, rng)
+        decoded = self._diffdec_jits[steps](ae_params, self.diffusion.params,
+                                            self._pt_jit_params(), z0, rng)
         return decoded.transpose(0, 2, 1)
 
 

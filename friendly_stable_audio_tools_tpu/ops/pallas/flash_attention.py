@@ -126,7 +126,7 @@ def _online_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int, causal:
         if causal:
             q_pos = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 0)
             s = jnp.where(k_pos <= q_pos, s, NEG_INF)
-        if kv_len % block_k != 0:
+        if kv_len % block_k != 0 or kv_len < t_k:
             s = jnp.where(k_pos < kv_len, s, NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
         p = jnp.exp(s - m_new)
@@ -552,7 +552,7 @@ def _flash_rope_bwd(causal, block_q, block_k, res, g):
 _flash_rope.defvjp(_flash_rope_fwd, _flash_rope_bwd)
 
 
-def _use_xla_fallback(t: int) -> bool:
+def _use_xla_fallback() -> bool:
     return jax.default_backend() == "cpu" and not _interpret()
 
 
@@ -571,12 +571,16 @@ def fused_qkv_rope_attention(qkv, freqs, num_heads: int,
         return x.reshape(b, t, num_heads, d).transpose(0, 2, 1, 3)
 
     q, k, v = heads(q), heads(k), heads(v)
-    if _use_xla_fallback(t) or t > SINGLE_DOT_MAX_TK:
+    if _use_xla_fallback():
         q = _rope_outside(q, freqs)
         k = _rope_outside(k, freqs)
         out = _xla_reference(
             q.reshape(b * num_heads, t, d), k.reshape(b * num_heads, t, d),
             v.reshape(b * num_heads, t, d), False).reshape(b, num_heads, t, d)
+    elif t > SINGLE_DOT_MAX_TK:
+        # long sequences: rope outside + the online-softmax flash kernel
+        # (never the O(T^2)-materializing XLA reference on device)
+        out = flash_attention(_rope_outside(q, freqs), _rope_outside(k, freqs), v)
     else:
         out = flash_attention(q, k, v, freqs=freqs, block_q=block_q)
     return out.transpose(0, 2, 1, 3).reshape(b, t, num_heads * d)
@@ -594,7 +598,7 @@ def _fused_reference(qkv, freqs, num_heads: int):
     q, k, v = heads(q), heads(k), heads(v)
     q = _rope_outside(q, freqs)
     k = _rope_outside(k, freqs)
-    if _use_xla_fallback(t):
+    if _use_xla_fallback():
         out = _xla_reference(
             q.reshape(b * num_heads, t, d), k.reshape(b * num_heads, t, d),
             v.reshape(b * num_heads, t, d), False).reshape(b, num_heads, t, d)

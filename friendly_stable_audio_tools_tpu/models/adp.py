@@ -494,21 +494,49 @@ class UNet1d(nn.Module):
     attention_heads: tp.Optional[int] = None
     attention_features: tp.Optional[int] = None
     attention_multiplier: tp.Optional[int] = None
+    # STFT-domain wrapping (reference adp.py:1105-1113,1244,1267): the U-Net
+    # runs over stacked mag/phase (or real/imag) STFT planes instead of raw
+    # waveform; in/out (and optionally context) channels multiply by
+    # 2 * (num_fft//2 + 1).
+    use_stft: bool = False
+    use_stft_context: bool = False
+    stft_num_fft: tp.Optional[int] = None
+    stft_hop_length: tp.Optional[int] = 256
+    stft_window_length: tp.Optional[int] = None
+    stft_length: tp.Optional[int] = None
+    stft_use_complex: bool = False
 
     @property
     def io_channels(self):
         return self.in_channels
 
+    def _stft(self):
+        from ..ops.stft import STFT
+
+        assert self.stft_num_fft is not None, "stft_num_fft required if use_stft=True"
+        return STFT(num_fft=self.stft_num_fft, hop_length=self.stft_hop_length,
+                    window_length=self.stft_window_length, length=self.stft_length,
+                    use_complex=self.stft_use_complex)
+
+    def _stft_channels(self):
+        return (self.stft_num_fft // 2 + 1) * 2
+
     def _ctx_channels(self):
         num_layers = len(self.multipliers) - 1
         cc = list(self.context_channels or [])
-        return cc + [0] * (num_layers + 1 - len(cc))
+        cc = cc + [0] * (num_layers + 1 - len(cc))
+        if self.use_stft and self.use_stft_context:
+            cc[0] *= self._stft_channels()
+        return cc
 
     @nn.compact
     def __call__(self, x, time=None, features=None, channels_list=None,
                  embedding=None, embedding_mask=None, causal: bool = False):
         num_layers = len(self.multipliers) - 1
         context_channels = self._ctx_channels()
+        stft = self._stft() if self.use_stft else None
+        if stft is not None:
+            x = stft.encode1d(x)
         use_context_features = self.context_features is not None
         use_context_channels = len([c for c in context_channels if c > 0]) > 0
         context_mapping_features = None
@@ -542,13 +570,19 @@ class UNet1d(nn.Module):
             if not (use_context_channels and has_context[layer]):
                 return None
             assert channels_list is not None, "Missing context"
-            return channels_list[channels_ids[layer]]
+            ch = channels_list[channels_ids[layer]]
+            # reference stft-encodes context channels whenever
+            # use_stft_context (adp.py:1207)
+            if stft is not None and self.use_stft_context:
+                ch = stft.encode1d(ch)
+            return ch
 
         ctx0 = get_channels(0)
         if ctx0 is not None:
             x = jnp.concatenate([x, ctx0.astype(x.dtype)], axis=-1)
 
-        x = Patcher(self.in_channels + context_channels[0], self.channels * self.multipliers[0],
+        eff_in = self.in_channels * (self._stft_channels() if self.use_stft else 1)
+        x = Patcher(eff_in + context_channels[0], self.channels * self.multipliers[0],
                     self.patch_size, context_mapping_features, self.use_snake, name="to_in")(
             x, mapping, causal=causal)
 
@@ -610,8 +644,12 @@ class UNet1d(nn.Module):
 
         x = x + skips_list.pop()
         out_ch = self.out_channels or self.in_channels
+        if stft is not None:
+            out_ch = out_ch * self._stft_channels()
         x = Unpatcher(self.channels * self.multipliers[0], out_ch, self.patch_size,
                       context_mapping_features, self.use_snake, name="to_out")(x, mapping, causal=causal)
+        if stft is not None:
+            x = stft.decode1d(x)
         return x
 
 
@@ -642,6 +680,13 @@ class UNetCFG1d(nn.Module):
     attention_heads: tp.Optional[int] = None
     attention_features: tp.Optional[int] = None
     attention_multiplier: tp.Optional[int] = None
+    use_stft: bool = False
+    use_stft_context: bool = False
+    stft_num_fft: tp.Optional[int] = None
+    stft_hop_length: tp.Optional[int] = 256
+    stft_window_length: tp.Optional[int] = None
+    stft_length: tp.Optional[int] = None
+    stft_use_complex: bool = False
 
     @property
     def io_channels(self):
@@ -675,6 +720,13 @@ class UNetCFG1d(nn.Module):
             attention_heads=self.attention_heads,
             attention_features=self.attention_features,
             attention_multiplier=self.attention_multiplier,
+            use_stft=self.use_stft,
+            use_stft_context=self.use_stft_context,
+            stft_num_fft=self.stft_num_fft,
+            stft_hop_length=self.stft_hop_length,
+            stft_window_length=self.stft_window_length,
+            stft_length=self.stft_length,
+            stft_use_complex=self.stft_use_complex,
         )
 
     def __call__(self, x, time, embedding, embedding_mask=None, embedding_scale: float = 1.0,

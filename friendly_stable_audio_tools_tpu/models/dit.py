@@ -118,6 +118,7 @@ class DiffusionTransformer(nn.Module):
         prepend_cond=None,
         prepend_cond_mask=None,
         return_info: bool = False,
+        cross_half_batch: bool = False,
     ):
         # x: [B, T, C]; t: [B]
         if cross_attn_cond is not None:
@@ -173,6 +174,7 @@ class DiffusionTransformer(nn.Module):
             context_mask=cross_attn_cond_mask,
             mask=mask,
             return_info=return_info,
+            cross_half_batch=cross_half_batch,
             **extra,
         )
         info = None
@@ -288,6 +290,19 @@ class DiffusionTransformer(nn.Module):
         if prepend_cond is not None:
             batch_prepend_cond = jnp.concatenate([prepend_cond, jnp.zeros_like(prepend_cond)], axis=0)
 
+        # The uncond half's cross-attention context is the all-zero null
+        # embedding; with biasless cond/kv projections its cross-attn output
+        # is identically zero, so the blocks compute cross-attention on the
+        # cond half only (exact; see TransformerBlock.run_cross). Negative
+        # conditioning replaces the null embed, so it disables the skip.
+        import os as _os
+
+        cross_half = (
+            batch_cond is not None
+            and negative_cross_attn_cond is None
+            and _os.environ.get("FSAT_DISABLE_CFG_CROSS_SKIP") != "1"
+        )
+
         out = self._forward(
             dup(x),
             dup(t),
@@ -299,6 +314,7 @@ class DiffusionTransformer(nn.Module):
             prepend_cond=batch_prepend_cond,
             prepend_cond_mask=dup(prepend_cond_mask),
             return_info=return_info,
+            cross_half_batch=cross_half,
         )
         info = None
         if return_info:

@@ -292,10 +292,24 @@ class TransformerBlock(nn.Module):
         rotary_pos_emb=None,
         kv_cache=None,
         return_kv: bool = False,
+        cross_half_batch: bool = False,
     ):
         norm = (lambda d, name: LayerNorm(d, name=name)) if not self.remove_norms else (
             lambda d, name: (lambda y: y)
         )
+
+        def run_cross(cross_attn, cross_norm, x, context, context_mask):
+            """CFG batch-doubling: the uncond half's context is the all-zero
+            null embedding, and every projection on the K/V path is biasless,
+            so its cross-attention output is identically zero — skip it and
+            concatenate zeros (exact, not an approximation). Enabled by the
+            DiT when no negative conditioning is present (dit.py)."""
+            if not cross_half_batch:
+                return cross_attn(cross_norm(x), context=context, context_mask=context_mask)
+            half = x.shape[0] // 2
+            out = cross_attn(cross_norm(x[:half]), context=context[:half],
+                             context_mask=None if context_mask is None else context_mask[:half])
+            return jnp.concatenate([out, jnp.zeros_like(out)], axis=0)
         self_attn = Attention(
             self.dim, self.dim_heads, causal=self.causal,
             zero_init_output=self.zero_init_branch_outputs,
@@ -327,11 +341,11 @@ class TransformerBlock(nn.Module):
             x = x + residual
 
             if context is not None:
-                x = x + Attention(
-                    self.dim, self.dim_heads, dim_context=self.dim_context,
-                    causal=self.causal, zero_init_output=self.zero_init_branch_outputs,
-                    qk_norm=self.qk_norm, name="cross_attn",
-                )(norm(self.dim, "cross_attend_norm")(x), context=context, context_mask=context_mask)
+                x = x + run_cross(
+                    Attention(self.dim, self.dim_heads, dim_context=self.dim_context,
+                              causal=self.causal, zero_init_output=self.zero_init_branch_outputs,
+                              qk_norm=self.qk_norm, name="cross_attn"),
+                    norm(self.dim, "cross_attend_norm"), x, context, context_mask)
 
             if self.conformer:
                 x = x + ConformerModule(self.dim, name="conformer")(x)
@@ -351,11 +365,11 @@ class TransformerBlock(nn.Module):
                 attn_out = self_attn(pre_norm(x), mask=mask, rotary_pos_emb=rotary_pos_emb)
             x = x + attn_out
             if context is not None:
-                x = x + Attention(
-                    self.dim, self.dim_heads, dim_context=self.dim_context,
-                    causal=self.causal, zero_init_output=self.zero_init_branch_outputs,
-                    qk_norm=self.qk_norm, name="cross_attn",
-                )(norm(self.dim, "cross_attend_norm")(x), context=context, context_mask=context_mask)
+                x = x + run_cross(
+                    Attention(self.dim, self.dim_heads, dim_context=self.dim_context,
+                              causal=self.causal, zero_init_output=self.zero_init_branch_outputs,
+                              qk_norm=self.qk_norm, name="cross_attn"),
+                    norm(self.dim, "cross_attend_norm"), x, context, context_mask)
             if self.conformer:
                 x = x + ConformerModule(self.dim, name="conformer")(x)
             x = x + ff(ff_norm(x))
@@ -427,6 +441,7 @@ class ContinuousTransformer(nn.Module):
         kv_caches: tp.Optional[list] = None,
         return_kv: bool = False,
         rotary_offset: int = 0,
+        cross_half_batch: bool = False,
     ):
         batch, seq = x.shape[:2]
         info = {"hidden_states": []}
@@ -511,10 +526,11 @@ class ContinuousTransformer(nn.Module):
                 )
                 new_kvs.append(kv)
             else:
+                kw = {"cross_half_batch": True} if cross_half_batch else {}
                 x = self._block(i, remat=self.grad_checkpointing,
                                 self_kv_len=self_kv_len)(
                     x, context=context, global_cond=global_cond, mask=mask,
-                    context_mask=context_mask, rotary_pos_emb=rot,
+                    context_mask=context_mask, rotary_pos_emb=rot, **kw,
                 )
             if self.seq_shard_axis is not None:
                 from ..parallel.sp import seq_constraint

@@ -62,6 +62,10 @@ def scaled_dot_product_attention(
             and (q.shape[-2] == k.shape[-2] or not causal)
             and mask is None
             and q.shape[-1] <= 128
+            # short-K cross attention (e.g. 130 cond tokens): the per-program
+            # fixed costs of the kernel dominate its tiny dots; XLA's fused
+            # einsum-softmax-einsum wins there (A/B'd on v5e)
+            and (k.shape[-2] >= 512 or os.environ.get("FSAT_PALLAS_CROSS") == "1")
         )
         implementation = "pallas" if use_pallas else "xla"
 

@@ -1,0 +1,180 @@
+"""torch.stft / torch.istft parity helpers (channels-last).
+
+Parity target: the reference's `STFT` module (reference models/adp.py:1522-1602)
+— torch.stft with center=True, reflect padding, Hann window, normalized=True
+(multiplies the spectrum by n_fft^-0.5; istft undoes it), and the
+`encode1d`/`decode1d` [B, C, T] <-> [B, 2*C*F, L] stacked mag/phase (or
+real/imag) layout. This module works channels-last: [B, T, C] <-> [B, L, 2*C*F].
+"""
+
+from __future__ import annotations
+
+import math
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def hann_window(win_length: int) -> jnp.ndarray:
+    """torch.hann_window(periodic=True)."""
+    n = jnp.arange(win_length, dtype=jnp.float32)
+    return 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * n / win_length)
+
+
+def _padded_window(window: jnp.ndarray, n_fft: int) -> jnp.ndarray:
+    """torch pads a short window symmetrically to n_fft."""
+    wl = window.shape[0]
+    if wl == n_fft:
+        return window
+    left = (n_fft - wl) // 2
+    return jnp.pad(window, (left, n_fft - wl - left))
+
+
+def _on_cpu() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _irfft(re: jnp.ndarray, im: jnp.ndarray, n: int) -> jnp.ndarray:
+    """irfft along the last axis, from separate real/imag parts. The session
+    TPU backend lacks the irfft (and most complex) kernels, so off-CPU this
+    runs as a real DFT-matrix matmul: x = Re(X) @ C + Im(X) @ S with
+    interior-bin weight 2 — identical math, MXU-friendly."""
+    if _on_cpu():
+        return jnp.fft.irfft(jax.lax.complex(re.astype(jnp.float32),
+                                             im.astype(jnp.float32)), n=n, axis=-1)
+    f = n // 2 + 1
+    k = np.arange(f)[:, None]
+    t = np.arange(n)[None, :]
+    w = np.full((f, 1), 2.0)
+    w[0, 0] = 1.0
+    if n % 2 == 0:
+        w[-1, 0] = 1.0
+    ang = 2.0 * np.pi * k * t / n
+    c = jnp.asarray(w * np.cos(ang) / n, jnp.float32)
+    s = jnp.asarray(-w * np.sin(ang) / n, jnp.float32)
+    return re.astype(jnp.float32) @ c + im.astype(jnp.float32) @ s
+
+
+def _atan2(y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """atan2 for backends without the atan2 kernel (arctan + quadrant fix)."""
+    if _on_cpu():
+        return jnp.arctan2(y, x)
+    safe_x = jnp.where(x == 0, 1.0, x)
+    r = jnp.arctan(y / safe_x)
+    out = jnp.where(x > 0, r, jnp.where(y >= 0, r + jnp.pi, r - jnp.pi))
+    return jnp.where(x == 0, jnp.sign(y) * (jnp.pi / 2), out)
+
+
+def stft(x: jnp.ndarray, n_fft: int, hop_length: int, win_length: int,
+         window: tp.Optional[jnp.ndarray] = None, normalized: bool = True) -> jnp.ndarray:
+    """x: [..., T] real -> [..., F, L] complex (torch.stft semantics:
+    center=True, pad_mode='reflect')."""
+    if window is None:
+        window = hann_window(win_length)
+    w = _padded_window(window, n_fft)
+    pad = n_fft // 2
+    x32 = x.astype(jnp.float32)
+    xp = jnp.pad(x32, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
+    n_frames = 1 + (xp.shape[-1] - n_fft) // hop_length
+    idx = jnp.arange(n_frames)[:, None] * hop_length + jnp.arange(n_fft)[None, :]
+    frames = xp[..., idx] * w  # [..., L, n_fft]
+    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
+    if normalized:
+        spec = spec * (1.0 / math.sqrt(n_fft))
+    return jnp.swapaxes(spec, -1, -2)  # [..., F, L]
+
+
+def istft(spec: jnp.ndarray, n_fft: int, hop_length: int, win_length: int,
+          window: tp.Optional[jnp.ndarray] = None, length: tp.Optional[int] = None,
+          normalized: bool = True,
+          spec_imag: tp.Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """spec: [..., F, L] complex (or real part, with `spec_imag`) ->
+    [..., T] real (torch.istft semantics)."""
+    if window is None:
+        window = hann_window(win_length)
+    w = _padded_window(window, n_fft)
+    if spec_imag is None:
+        re, im = spec.real, spec.imag
+    else:
+        re, im = spec, spec_imag
+    if normalized:
+        re = re * math.sqrt(n_fft)
+        im = im * math.sqrt(n_fft)
+    frames = _irfft(jnp.swapaxes(re, -1, -2), jnp.swapaxes(im, -1, -2), n_fft)  # [..., L, n_fft]
+    frames = frames * w
+    n_frames = frames.shape[-2]
+    t_out = n_fft + hop_length * (n_frames - 1)
+    lead = frames.shape[:-2]
+    idx = (jnp.arange(n_frames)[:, None] * hop_length + jnp.arange(n_fft)[None, :]).reshape(-1)
+    flat = frames.reshape(lead + (-1,))
+    ola = jnp.zeros(lead + (t_out,), jnp.float32).at[..., idx].add(flat)
+    wsq = jnp.zeros((t_out,), jnp.float32).at[idx].add(jnp.tile(w * w, n_frames))
+    ola = ola / jnp.maximum(wsq, 1e-11)
+    pad = n_fft // 2
+    if length is None:
+        length = t_out - 2 * pad
+    return ola[..., pad:pad + length]
+
+
+def closest_power_2(x: float) -> int:
+    """reference adp.py helper: nearest power of two (in log distance)."""
+    lo = 2 ** math.floor(math.log2(x))
+    hi = 2 ** math.ceil(math.log2(x))
+    return int(lo if (x / lo) < (hi / x) else hi)
+
+
+class STFT:
+    """Stateless channels-last equivalent of the reference `STFT` module
+    (reference adp.py:1522-1602)."""
+
+    def __init__(self, num_fft: int = 1023, hop_length: tp.Optional[int] = 256,
+                 window_length: tp.Optional[int] = None, length: tp.Optional[int] = None,
+                 use_complex: bool = False):
+        self.num_fft = num_fft
+        self.hop_length = hop_length if hop_length is not None else num_fft // 4
+        self.window_length = window_length if window_length is not None else num_fft
+        self.length = length
+        self.use_complex = use_complex
+        self.num_bins = num_fft // 2 + 1
+
+    def encode(self, wave: jnp.ndarray) -> tp.Tuple[jnp.ndarray, jnp.ndarray]:
+        """wave [B, T, C] -> (a, b) each [B, C, F, L] (mag/phase or real/imag)."""
+        x = jnp.swapaxes(wave, -1, -2)  # [B, C, T]
+        spec = stft(x, self.num_fft, self.hop_length, self.window_length)
+        if self.use_complex:
+            return spec.real, spec.imag
+        re, im = spec.real, spec.imag
+        return jnp.sqrt(re * re + im * im), _atan2(im, re)
+
+    def decode(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        """(a, b) [B, C, F, L] -> wave [B, T, C]."""
+        if self.use_complex:
+            re, im = a, b
+        else:
+            re, im = a * jnp.cos(b), a * jnp.sin(b)
+        length = self.length
+        if length is None:
+            length = closest_power_2(a.shape[-1] * self.hop_length)
+        x = istft(re, self.num_fft, self.hop_length, self.window_length, length=length,
+                  spec_imag=im)
+        return jnp.swapaxes(x, -1, -2)  # [B, T, C]
+
+    def encode1d(self, wave: jnp.ndarray) -> jnp.ndarray:
+        """[B, T, C] -> [B, L, 2*C*F] (a-planes then b-planes, channel-major
+        per plane — matches the reference's `b (c f) l` stacking)."""
+        a, b = self.encode(wave)
+        bsz, c, f, l = a.shape
+        a = a.reshape(bsz, c * f, l)
+        b = b.reshape(bsz, c * f, l)
+        return jnp.swapaxes(jnp.concatenate([a, b], axis=1), -1, -2)
+
+    def decode1d(self, pair: jnp.ndarray) -> jnp.ndarray:
+        """[B, L, 2*C*F] -> [B, T, C]."""
+        x = jnp.swapaxes(pair, -1, -2)  # [B, 2*C*F, L]
+        f = self.num_bins
+        a, b = jnp.split(x, 2, axis=1)
+        bsz, cf, l = a.shape
+        c = cf // f
+        return self.decode(a.reshape(bsz, c, f, l), b.reshape(bsz, c, f, l))

@@ -133,6 +133,32 @@ def mel_filterbank(sr: int, n_fft: int, n_mels: int, fmin: float = 0.0,
     return weights.astype(np.float32)
 
 
+def chroma_filterbank(sr: int, n_fft: int, n_chroma: int = 12, tuning: float = 0.0,
+                      ctroct: float = 5.0, octwidth: float = 2.0,
+                      base_c: bool = True) -> np.ndarray:
+    """librosa.filters.chroma parity (the reference's chroma STFT scale,
+    reference training/losses/auraloss.py:341-348): Gaussian-bumped
+    wrapped-pitch-class weights over FFT bins, L2-normalized per bin, with an
+    octave-centered Gaussian taper and C-based rotation."""
+    frequencies = np.linspace(0, sr, n_fft, endpoint=False)[1:]
+    a440 = 440.0 * 2.0 ** (tuning / n_chroma)
+    frqbins = n_chroma * np.log2(frequencies / (a440 / 16))
+    frqbins = np.concatenate(([frqbins[0] - 1.5 * n_chroma], frqbins))
+    binwidthbins = np.concatenate((np.maximum(frqbins[1:] - frqbins[:-1], 1.0), [1.0]))
+    d = np.subtract.outer(frqbins, np.arange(0, n_chroma, dtype="d")).T
+    half = np.round(float(n_chroma) / 2)
+    d = np.remainder(d + half + 10 * n_chroma, n_chroma) - half
+    wts = np.exp(-0.5 * (2 * d / np.tile(binwidthbins, (n_chroma, 1))) ** 2)
+    norm = np.sqrt(np.sum(wts ** 2, axis=0, keepdims=True))
+    wts = wts / np.maximum(norm, np.finfo(np.float64).tiny)
+    if octwidth is not None:
+        wts *= np.tile(np.exp(-0.5 * (((frqbins / n_chroma - ctroct) / octwidth) ** 2)),
+                       (n_chroma, 1))
+    if base_c:
+        wts = np.roll(wts, -3 * (n_chroma // 12), axis=0)
+    return np.ascontiguousarray(wts[:, : int(1 + n_fft / 2)], dtype=np.float32)
+
+
 def spectral_convergence(x_mag, y_mag):
     """(reference auraloss.py:169-179)."""
     num = jnp.sqrt(jnp.sum((y_mag - x_mag) ** 2, axis=(-2, -1)))
@@ -191,8 +217,11 @@ class STFTLoss:
             assert sample_rate is not None and n_bins is not None
             if scale == "mel":
                 self.fb = jnp.asarray(mel_filterbank(sample_rate, fft_size, n_bins))
+            elif scale == "chroma":
+                assert n_bins <= fft_size, "Must be more FFT bins than chroma bins"
+                self.fb = jnp.asarray(chroma_filterbank(sample_rate, fft_size, n_chroma=n_bins))
             else:
-                raise NotImplementedError(f"scale '{scale}' not implemented (mel only)")
+                raise ValueError(f"Invalid scale: {scale}. Must be 'mel' or 'chroma'.")
         self.prefilter = None
         if perceptual_weighting:
             if sample_rate is None:

@@ -100,14 +100,22 @@ def main():
     _ = float(out[0, 0, 0])  # host transfer: the only reliable sync on this backend
     print(f"first call (compile+run): {time.time()-t_start:.1f}s", file=sys.stderr)
 
-    # timed runs
+    # timed runs; BENCH_PROFILE=<dir> wraps them in a jax.profiler trace
+    # (note: the tunneled axon backend may not support trace capture — the
+    # flag is the standard escape hatch for real TPU VMs)
     n_runs = int(os.environ.get("BENCH_RUNS", 3))
+    profile_dir = os.environ.get("BENCH_PROFILE")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     times = []
     for i in range(n_runs):
         t0_ = time.time()
         out = generate(dit_params, vae_params, cond, g, noise, jax.random.PRNGKey(2 + i))
         _ = float(out[0, 0, 0])  # force completion + host transfer
         times.append(time.time() - t0_)
+    if profile_dir:
+        jax.profiler.stop_trace()
+        print(f"profiler trace written to {profile_dir}", file=sys.stderr)
     wall = min(times)
     assert np.isfinite(np.asarray(out[:, :16, :], np.float32)).all(), "non-finite audio"
 

@@ -80,6 +80,8 @@ def generate_diffusion_uncond(
     init_noise_level: float = 1.0,
     return_latents: bool = False,
     disable_tqdm: bool = False,
+    callback=None,
+    verbose: bool = False,
     **sampler_kwargs,
 ):
     """reference generation.py:12-91. Returns [B, C, T]."""
@@ -113,15 +115,25 @@ def generate_diffusion_uncond(
     skey = _static_sampler_key(sampler_kwargs)
     pt_in_jit = _pretransform_in_jit(model) and not return_latents
 
+    hooks = {}
+    if callback is not None or verbose:
+        model._gen_step_callback = callback
+        hooks = {
+            "verbose": verbose,
+            "callback": (lambda info: model._gen_step_callback(info)) if callback is not None else None,
+        }
+
     def build():
         def run(params, pt_params, noise, init_latent, key):
             def model_fn(x, t):
                 return model.forward(params, x, t)
 
             if model.diffusion_objective == "v":
-                out = sample_k(model_fn, noise, init_latent, None, steps, rng=key, **sampler_kwargs)
+                out = sample_k(model_fn, noise, init_latent, None, steps, rng=key,
+                               **hooks, **sampler_kwargs)
             elif model.diffusion_objective == "rectified_flow":
-                out = sample_rf(model_fn, noise, init_data=init_latent, steps=steps, rng=key, **sampler_kwargs)
+                out = sample_rf(model_fn, noise, init_data=init_latent, steps=steps, rng=key,
+                                **hooks, **sampler_kwargs)
             else:
                 raise RuntimeError(f"No such sampling mode: '{model.diffusion_objective}'")
             if pt_in_jit:
@@ -134,7 +146,8 @@ def generate_diffusion_uncond(
         sampled = build()(model.params, None if not pt_in_jit else model.pretransform.model.params,
                           noise, init_latent, k_sampler)
     else:
-        fn = _jit_cached(model, ("uncond", steps, bool(return_latents), skey), build)
+        fn = _jit_cached(model, ("uncond", steps, bool(return_latents), bool(verbose),
+                                 callback is not None, skey), build)
         pt_params = model.pretransform.model.params if pt_in_jit else None
         sampled = fn(model.params, pt_params, noise, init_latent, k_sampler)
 
@@ -160,11 +173,16 @@ def generate_diffusion_cond(
     return_latents: bool = False,
     disable_tqdm: bool = False,
     scale_phi: float = 0.0,
+    callback=None,
+    verbose: bool = False,
     **sampler_kwargs,
 ):
     """Text(-and-more)-to-audio (reference generation.py:94-261).
 
-    Returns [B, C, T] audio (or latents if return_latents).
+    Returns [B, C, T] audio (or latents if return_latents). `callback` is
+    invoked per sampler step with {'x','i','sigma','denoised'} (latent-space
+    arrays, host-side — reference gradio.py:143-153 preview path); `verbose`
+    prints iters/sec every 10 steps (reference sampling.py:33-56).
     """
     audio_sample_size = sample_size
     if model.pretransform is not None:
@@ -233,6 +251,17 @@ def generate_diffusion_cond(
     skey = _static_sampler_key(sampler_kwargs)
     pt_in_jit = _pretransform_in_jit(model) and not return_latents
 
+    # step hooks: the jitted program embeds a STABLE trampoline that reads the
+    # current callback from the model object, so swapping callbacks (gradio
+    # builds a fresh closure per generation) reuses the compiled program
+    hooks = {}
+    if callback is not None or verbose:
+        model._gen_step_callback = callback
+        hooks = {
+            "verbose": verbose,
+            "callback": (lambda info: model._gen_step_callback(info)) if callback is not None else None,
+        }
+
     def build():
         def run(params, pt_params, noise, init_latent, mask, common, key):
             def model_fn(x, t, **cond_kwargs):
@@ -242,13 +271,13 @@ def generate_diffusion_cond(
                 out = sample_k(
                     model_fn, noise, init_latent, mask, steps,
                     rng=key, cfg_scale=cfg_scale, batch_cfg=True, rescale_cfg=True,
-                    scale_phi=scale_phi, **sampler_kwargs, **common,
+                    scale_phi=scale_phi, **hooks, **sampler_kwargs, **common,
                 )
             else:
                 out = sample_rf(
                     model_fn, noise, init_data=init_latent, steps=steps,
                     rng=key, cfg_scale=cfg_scale, batch_cfg=True, rescale_cfg=True,
-                    scale_phi=scale_phi, **sampler_kwargs, **common,
+                    scale_phi=scale_phi, **hooks, **sampler_kwargs, **common,
                 )
             if pt_in_jit:
                 out = model.pretransform.decode_nwc(out, params=pt_params)
@@ -262,7 +291,7 @@ def generate_diffusion_cond(
     else:
         fn = _jit_cached(
             model, ("cond", steps, float(cfg_scale), float(scale_phi),
-                    bool(return_latents), skey), build)
+                    bool(return_latents), bool(verbose), callback is not None, skey), build)
         sampled = fn(model.params, pt_params, noise, init_latent, mask, common, k_sampler)
 
     if model.pretransform is not None and not return_latents and not pt_in_jit:

@@ -18,8 +18,9 @@ Divergences (documented):
   * SDE/ancestral noise comes from `jax.random` splits, not torchsde Brownian
     trees; fixed seeds reproduce within this framework, not across frameworks.
   * Progress printing (reference prints iter/sec every 10 steps via CUDA
-    events) is not possible inside a compiled scan; bench.py reports
-    throughput instead.
+    events, sampling.py:33-56) and per-step callbacks run through
+    `jax.debug.callback` from inside the compiled scan — enabled only when
+    `verbose=True` / `callback` is given, so the hot path stays host-free.
 """
 
 from __future__ import annotations
@@ -75,6 +76,80 @@ def make_v_denoiser(model_fn, extra_args: dict):
         return v * c_out + x.astype(jnp.float32) * c_skip
 
     return denoiser
+
+
+_HOST_CALLBACKS_OK: tp.Optional[bool] = None
+
+
+def host_callbacks_supported() -> bool:
+    """Some PJRT backends (e.g. the tunneled dev 'axon' plugin) lack host
+    send/recv callbacks entirely. Probe once with an unordered callback
+    (raises a catchable UNIMPLEMENTED there; ordered would deadlock)."""
+    global _HOST_CALLBACKS_OK
+    if _HOST_CALLBACKS_OK is None:
+        def probed(x):
+            jax.debug.callback(lambda v: None, x, ordered=False)
+            return x * 2
+
+        try:
+            # float() forces a host transfer — the only reliable completion
+            # sync on some tunneled backends (block_until_ready is a no-op)
+            _ = float(jax.jit(probed)(jnp.float32(1.0)))
+            _HOST_CALLBACKS_OK = True
+        except Exception:
+            _HOST_CALLBACKS_OK = False
+    return _HOST_CALLBACKS_OK
+
+
+def make_step_hooked_denoiser(denoiser, verbose: bool = False, callback=None,
+                              total_steps: tp.Optional[int] = None):
+    """Wrap a denoiser with host-side per-step hooks (reference
+    sampling.py:33-56 progress printing; k-diffusion callback convention
+    {'x','i','sigma','denoised'}). Implemented with ordered
+    `jax.debug.callback` so it works inside the compiled scan; zero cost when
+    neither hook is requested (the denoiser is returned unchanged)."""
+    if not verbose and callback is None:
+        return denoiser
+    if not host_callbacks_supported():
+        import logging
+
+        logging.warning(
+            "This JAX backend does not support host callbacks; sampler "
+            "verbose/callback hooks are disabled for this run."
+        )
+        return denoiser
+
+    import time as _time
+
+    state = {"i": 0, "t0": None}
+
+    def on_step(sigma, x, denoised):
+        i = state["i"]
+        state["i"] += 1
+        # single-model-eval samplers (dpmpp-2m/3m-sde, euler, lms — incl. the
+        # reference default) hit this once per step, so i is the step index
+        # and the counter resets cleanly between cached-jit invocations;
+        # multi-eval samplers (heun, dpm-2, 2s-ancestral) count NFEs instead.
+        if total_steps is not None and state["i"] >= total_steps:
+            state["i"] = 0
+            state["t0"] = None
+        if callback is not None:
+            callback({"i": i, "sigma": float(np.asarray(sigma)),
+                      "x": np.asarray(x), "denoised": np.asarray(denoised)})
+        if verbose and i % 10 == 0:
+            now = _time.perf_counter()
+            if state["t0"] is not None:
+                ips = 10.0 / max(now - state["t0"], 1e-9)
+                total = f"/{total_steps}" if total_steps else ""
+                print(f"sampling step {i}{total}: {ips:.2f} iters/sec")
+            state["t0"] = now
+
+    def wrapped(x, sigma):
+        denoised = denoiser(x, sigma)
+        jax.debug.callback(on_step, sigma, x, denoised, ordered=True)
+        return denoised
+
+    return wrapped
 
 
 def make_cond_model_fn(denoiser, cond_fn):
@@ -547,12 +622,15 @@ def sample_k(
     rng: tp.Optional[jax.Array] = None,
     cond_fn=None,
     callback=None,
+    verbose: bool = False,
     disable_tqdm: bool = False,
     device=None,
     **extra_args,
 ):
     """reference inference/sampling.py:144-233. `rng` replaces torch's global
-    generator; `device`/`disable_tqdm`/`callback` accepted for API parity."""
+    generator; `device`/`disable_tqdm` accepted for API parity. `verbose`
+    prints iters/sec every 10 steps; `callback` is invoked per step with
+    {'x','i','sigma','denoised'} (host-side, via jax.debug.callback)."""
     if sampler_type not in _K_SAMPLERS and sampler_type not in ("k-dpm-fast", "k-dpm-adaptive"):
         raise ValueError(f"Unknown sampler type {sampler_type}")
     rng = rng if rng is not None else jax.random.PRNGKey(0)
@@ -560,6 +638,8 @@ def sample_k(
     denoiser = make_v_denoiser(model_fn, extra_args)
     if cond_fn is not None:
         denoiser = make_cond_model_fn(denoiser, cond_fn)
+    denoiser = make_step_hooked_denoiser(denoiser, verbose=verbose, callback=callback,
+                                         total_steps=steps)
 
     sigmas = get_sigmas_polyexponential(steps, sigma_min, sigma_max, rho)
     noise = noise.astype(jnp.float32) * float(sigmas[0])
@@ -590,11 +670,15 @@ def sample_k(
 
 
 def sample(model_fn, x, steps: int, eta: float = 0.0, rng: tp.Optional[jax.Array] = None,
-           verbose: bool = False, **extra_args):
+           verbose: bool = False, callback=None, **extra_args):
     """DDIM for v-objective models (reference sampling.py:63-114)."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     t = jnp.linspace(1, 0, steps + 1)[:-1]
     alphas, sigmas = get_alphas_sigmas(t)
+
+    hook = make_step_hooked_denoiser(lambda pred, sigma: pred, verbose=verbose,
+                                     callback=callback, total_steps=steps) \
+        if (verbose or callback is not None) else None
 
     def body(carry, ix):
         x, _ = carry
@@ -602,6 +686,8 @@ def sample(model_fn, x, steps: int, eta: float = 0.0, rng: tp.Optional[jax.Array
         ts = jnp.full((x.shape[0],), t[i], jnp.float32)
         v = model_fn(x.astype(jnp.float32), ts, **extra_args).astype(jnp.float32)
         pred = x * alphas[i] - v * sigmas[i]
+        if hook is not None:
+            pred = hook(pred, sigmas[i])
         eps = x * sigmas[i] + v * alphas[i]
 
         # next-step recombination (skipped on the final step)
@@ -624,16 +710,24 @@ def sample(model_fn, x, steps: int, eta: float = 0.0, rng: tp.Optional[jax.Array
     return pred
 
 
-def sample_discrete_euler(model_fn, x, steps: int, sigma_max: float = 1.0, verbose: bool = False, **extra_args):
+def sample_discrete_euler(model_fn, x, steps: int, sigma_max: float = 1.0, verbose: bool = False,
+                          callback=None, **extra_args):
     """Euler for rectified flow (reference sampling.py:28-60): linspace
     sigma_max -> 0, x += dt * model(x, t)."""
     t = jnp.linspace(sigma_max, 0, steps + 1)
+
+    hook = make_step_hooked_denoiser(lambda v, sigma: v, verbose=verbose,
+                                     callback=callback, total_steps=steps) \
+        if (verbose or callback is not None) else None
 
     def body(x, i):
         t_curr, t_prev = t[i], t[i + 1]
         ts = jnp.full((x.shape[0],), t_curr, jnp.float32)
         dt = t_prev - t_curr
-        x = x + dt * model_fn(x.astype(jnp.float32), ts, **extra_args).astype(jnp.float32)
+        v = model_fn(x.astype(jnp.float32), ts, **extra_args).astype(jnp.float32)
+        if hook is not None:
+            v = hook(v, t_curr)
+        x = x + dt * v
         return x, None
 
     x, _ = jax.lax.scan(body, x.astype(jnp.float32), jnp.arange(steps))
@@ -642,7 +736,7 @@ def sample_discrete_euler(model_fn, x, steps: int, sigma_max: float = 1.0, verbo
 
 def sample_rf(model_fn, noise, init_data=None, steps: int = 100, sigma_max: float = 1.0,
               rng: tp.Optional[jax.Array] = None, cond_fn=None, callback=None,
-              disable_tqdm: bool = False, device=None, **extra_args):
+              verbose: bool = False, disable_tqdm: bool = False, device=None, **extra_args):
     """reference sampling.py:236-269."""
     if sigma_max > 1:
         sigma_max = 1
@@ -650,4 +744,5 @@ def sample_rf(model_fn, noise, init_data=None, steps: int = 100, sigma_max: floa
         x = init_data.astype(jnp.float32) * (1 - sigma_max) + noise.astype(jnp.float32) * sigma_max
     else:
         x = noise
-    return sample_discrete_euler(model_fn, x, steps, sigma_max, **extra_args)
+    return sample_discrete_euler(model_fn, x, steps, sigma_max, verbose=verbose,
+                                 callback=callback, **extra_args)

@@ -68,7 +68,9 @@ def generate_cond(prompt, negative_prompt=None, seconds_start=0, seconds_total=3
                   mask_cropfrom=None, mask_pastefrom=None, mask_pasteto=None,
                   mask_maskstart=None, mask_maskend=None, mask_softnessL=None,
                   mask_softnessR=None, mask_marination=None, batch_size=1):
-    """reference gradio.py:59-207."""
+    """reference gradio.py:59-207. With `preview_every` set, collects a
+    spectrogram preview of the decoded denoised latents every N steps
+    (reference gradio.py:143-153) and returns (audio, [previews])."""
     from ..inference.generation import generate_diffusion_cond
 
     conditioning = [{"prompt": prompt, "seconds_start": seconds_start, "seconds_total": seconds_total}] * batch_size
@@ -100,16 +102,39 @@ def generate_cond(prompt, negative_prompt=None, seconds_start=0, seconds_total=3
             "marination": mask_marination or 0.0,
         }
 
+    if preview_every == 0:
+        preview_every = None
+    preview_images: tp.List = []
+    progress_callback = None
+    if preview_every is not None:
+        from ..training.viz import audio_spectrogram_image
+
+        def progress_callback(info):
+            step = info["i"]
+            if (step - 1) % int(preview_every) != 0:
+                return
+            denoised = info["denoised"]  # [B, L, C] latents (host numpy)
+            if MODEL.pretransform is not None:
+                denoised = np.asarray(MODEL.pretransform.decode_nwc(denoised))
+            # [B, T, C] -> [C, B*T] like the reference's "b d n -> d (b n)"
+            flat = np.clip(denoised.transpose(2, 0, 1).reshape(denoised.shape[-1], -1), -1, 1)
+            img = audio_spectrogram_image(flat, sample_rate=SAMPLE_RATE)
+            preview_images.append((img, f"Step {step} sigma={info['sigma']:.3f}"))
+
     audio = generate_diffusion_cond(
         MODEL, steps=steps, cfg_scale=cfg_scale,
         conditioning=conditioning, negative_conditioning=negative_conditioning,
         sample_size=SAMPLE_SIZE, seed=seed, sampler_type=sampler_type,
         sigma_min=sigma_min, sigma_max=sigma_max, scale_phi=cfg_rescale,
         init_audio=init, init_noise_level=init_noise_level, mask_args=mask_args,
+        callback=progress_callback,
     )
     from ..utils.audio_utils import float_to_int16_audio
 
-    return (SAMPLE_RATE, float_to_int16_audio(np.asarray(audio)[0]).T)
+    out_audio = (SAMPLE_RATE, float_to_int16_audio(np.asarray(audio)[0]).T)
+    if preview_every is not None:
+        return out_audio, preview_images
+    return out_audio
 
 
 def generate_uncond(steps=250, seed=-1, sampler_type="dpmpp-3m-sde", sigma_min=0.3,
@@ -201,6 +226,8 @@ def create_ui(model_config=None, ckpt_path=None, pretrained_name=None,
                     steps = gr.Slider(1, 500, value=100, step=1, label="Steps")
                     cfg = gr.Slider(0, 25, value=7, label="CFG scale")
                     cfg_rescale = gr.Slider(0, 1, value=0.0, label="CFG rescale")
+                preview_every = gr.Slider(0, 100, value=0, step=1,
+                                          label="Preview every N steps (0 = off)")
                 sampler = gr.Dropdown(
                     ["dpmpp-3m-sde", "dpmpp-2m-sde", "k-heun", "k-lms", "k-dpm-2",
                      "k-dpmpp-2s-ancestral", "k-euler"], value="dpmpp-3m-sde", label="Sampler")
@@ -209,12 +236,21 @@ def create_ui(model_config=None, ckpt_path=None, pretrained_name=None,
                 init_audio = gr.Audio(label="Init audio")
                 init_noise = gr.Slider(0.1, 100, value=1.0, label="Init noise level")
                 out = gr.Audio(label="Output")
+                previews = gr.Gallery(label="Step previews", visible=True)
+
+                def _generate(p, n, ss, st, c, s, pe, sd, sa, smin, smax, cr, ui_, ia, inl):
+                    res = generate_cond(p, n, ss, st, c, s, int(pe) or None, sd, sa,
+                                        smin, smax, cr, ui_, ia, inl)
+                    if isinstance(res, tuple) and len(res) == 2 and isinstance(res[1], list):
+                        return res[0], res[1]
+                    return res, []
+
                 gr.Button("Generate").click(
-                    fn=lambda *a: generate_cond(*a),
+                    fn=_generate,
                     inputs=[prompt, negative, sec_start, sec_total, cfg, steps,
-                            gr.State(None), seed, sampler, gr.State(0.3), gr.State(500),
+                            preview_every, seed, sampler, gr.State(0.3), gr.State(500),
                             cfg_rescale, use_init, init_audio, init_noise],
-                    outputs=out,
+                    outputs=[out, previews],
                 )
             with gr.Tab("Inpainting"):
                 prompt2 = gr.Textbox(label="Prompt")

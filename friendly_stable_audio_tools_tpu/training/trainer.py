@@ -41,6 +41,9 @@ class Trainer:
         log_every: int = 1,
         progress_every: int = 50,
         gradient_clip_val: float = 0.0,
+        profile_dir: tp.Optional[str] = None,
+        profile_start_step: int = 10,
+        profile_steps: int = 5,
     ):
         self.wrapper = training_wrapper
         self.dataloader = dataloader
@@ -55,6 +58,13 @@ class Trainer:
         self.metrics_logger = MetricsLogger()
         self.log_every = log_every
         self.progress_every = progress_every
+        # jax.profiler trace window (SURVEY §5 tracing; the reference only has
+        # ad-hoc CUDA-event timing): traces steps
+        # [profile_start_step, profile_start_step + profile_steps)
+        self.profile_dir = profile_dir
+        self.profile_start_step = profile_start_step
+        self.profile_steps = profile_steps
+        self._profiling = False
 
         if gradient_clip_val and gradient_clip_val > 0:
             # global-norm clipping wraps the wrapper's optimizers
@@ -149,9 +159,21 @@ class Trainer:
                             lambda *xs: jnp.concatenate(xs, axis=0), *accum)
                         accum = []
 
+                    if self.profile_dir and not self._profiling and step == self.profile_start_step:
+                        jax.profiler.start_trace(self.profile_dir)
+                        self._profiling = True
+
                     rng, k = jax.random.split(rng)
                     state, metrics = self._step(state, device_batch, k, step)
                     step += 1
+
+                    if self._profiling and step >= self.profile_start_step + self.profile_steps:
+                        jax.tree_util.tree_map(
+                            lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x,
+                            metrics)
+                        jax.profiler.stop_trace()
+                        self._profiling = False
+                        print(f"profiler trace written to {self.profile_dir}", flush=True)
 
                     self.metrics_logger.add({f"train/{k_}": v for k_, v in metrics.items()})
                     if (step - 1) % self.log_every == 0:
@@ -179,6 +201,9 @@ class Trainer:
             traceback.print_exc()
             raise
         finally:
+            if self._profiling:
+                jax.profiler.stop_trace()
+                self._profiling = False
             wrapper.push_params(state)
         return state
 

@@ -112,6 +112,9 @@ def main():
         mesh=mesh,
         log_every=model_config["training"].get("logging", {}).get("log_every", 1),
         gradient_clip_val=args.gradient_clip_val,
+        profile_dir=getattr(args, "profile_dir", "") or None,
+        profile_start_step=int(getattr(args, "profile_start_step", 10)),
+        profile_steps=int(getattr(args, "profile_steps", 5)),
     )
 
     trainer.fit(ckpt_path=args.ckpt_path or None, seed=seed)

@@ -78,27 +78,26 @@ def make_v_denoiser(model_fn, extra_args: dict):
     return denoiser
 
 
-_HOST_CALLBACKS_OK: tp.Optional[bool] = None
-
-
 def host_callbacks_supported() -> bool:
     """Some PJRT backends (e.g. the tunneled dev 'axon' plugin) lack host
-    send/recv callbacks entirely. Probe once with an unordered callback
-    (raises a catchable UNIMPLEMENTED there; ordered would deadlock)."""
-    global _HOST_CALLBACKS_OK
-    if _HOST_CALLBACKS_OK is None:
-        def probed(x):
-            jax.debug.callback(lambda v: None, x, ordered=False)
-            return x * 2
+    send/recv callbacks entirely (`UNIMPLEMENTED: ... does not support host
+    send/recv callbacks`) — and the ordered variant deadlocks rather than
+    raising, so this is an allowlist of the standard platforms instead of a
+    runtime probe (which also couldn't run under an outer jit trace).
+    `FSAT_FORCE_HOST_CALLBACKS=1` overrides for new backends."""
+    import os
 
-        try:
-            # float() forces a host transfer — the only reliable completion
-            # sync on some tunneled backends (block_until_ready is a no-op)
-            _ = float(jax.jit(probed)(jnp.float32(1.0)))
-            _HOST_CALLBACKS_OK = True
-        except Exception:
-            _HOST_CALLBACKS_OK = False
-    return _HOST_CALLBACKS_OK
+    if os.environ.get("FSAT_FORCE_HOST_CALLBACKS") == "1":
+        return True
+    if jax.default_backend() not in ("cpu", "tpu", "gpu", "cuda", "rocm"):
+        return False
+    # the axon tunnel masquerades as platform "tpu"; its PJRT version string
+    # is the only reliable discriminator
+    try:
+        version = getattr(jax.devices()[0].client, "platform_version", "")
+    except Exception:
+        version = ""
+    return "axon" not in version
 
 
 def make_step_hooked_denoiser(denoiser, verbose: bool = False, callback=None,

@@ -173,19 +173,31 @@ def get_hf_tokenizer(name: str, fallback_vocab: int = 32100,
         from .sentencepiece import SentencePieceUnigramTokenizer
 
         return SentencePieceUnigramTokenizer.from_file(spiece)
+    previous = logging.root.manager.disable
+    logging.disable(logging.ERROR)
     try:
-        previous = logging.root.manager.disable
-        logging.disable(logging.ERROR)
         with warnings.catch_warnings():
             warnings.simplefilter("ignore")
             from transformers import AutoTokenizer
 
-            tok = AutoTokenizer.from_pretrained(name)
-        logging.disable(previous)
-        return tok
+            # local cache first (fast, no network); then one network attempt
+            # unless the environment is pinned offline (zero-egress builds
+            # otherwise stall ~40 s per conditioner in HTTP retries)
+            import os
+
+            try:
+                return AutoTokenizer.from_pretrained(name, local_files_only=True)
+            except Exception:
+                pass
+            offline = os.environ.get("HF_HUB_OFFLINE") == "1" or \
+                os.environ.get("TRANSFORMERS_OFFLINE") == "1"
+            if not offline:
+                return AutoTokenizer.from_pretrained(name)
     except Exception:
+        pass
+    finally:
         logging.disable(previous)
-        return SimpleTokenizer(fallback_vocab)
+    return SimpleTokenizer(fallback_vocab)
 
 
 # --------------------------------------------------------------------------

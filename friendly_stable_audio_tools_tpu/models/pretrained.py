@@ -26,6 +26,8 @@ def assert_no_fallback_tokenizers(model, context: str = "pretrained loading") ->
     checkpoints (garbage conditioning with real weights); it is only valid
     for from-scratch smoke training. See VERDICT round-1 Weak #4.
     """
+    if os.environ.get("FSAT_ALLOW_FALLBACK_TOKENIZER") == "1":
+        return  # explicit opt-out for smoke tests / synthetic checkpoints
     conditioner = getattr(model, "conditioner", None)
     if conditioner is None:
         return

@@ -8,6 +8,9 @@ in bench.py, not the test suite.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # force: the session env pins a TPU platform
+# zero-egress: fail HF lookups fast instead of stalling in HTTP retries
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()

@@ -72,8 +72,10 @@ def test_lm_converter_matches_init_tree():
         assert fr[k] == fg[k], (k, fr[k], fg[k])
 
 
-def test_lm_torch_import_end_to_end(tmp_path):
+def test_lm_torch_import_end_to_end(tmp_path, monkeypatch):
     """load_torch_checkpoint_into_model(model_type=lm) through npz."""
+    # synthetic checkpoint: the hash-fallback tokenizer is fine here
+    monkeypatch.setenv("FSAT_ALLOW_FALLBACK_TOKENIZER", "1")
     from test_lm import TINY_LM_CONFIG
     from friendly_stable_audio_tools_tpu.models.factory import create_model_from_config
     from friendly_stable_audio_tools_tpu.utils.torch_import import (

@@ -43,6 +43,10 @@ def _kernel(x_cur, x_nxt, w_ref, b_ref, ab_ref, o_ref, xcat_ref, *, k: int, dila
         alpha = ab_ref[0, :]
         inv_beta = ab_ref[1, :]
         x = x + 0.5 * inv_beta * (1.0 - jnp.cos(2.0 * alpha * x))
+    # compute the conv in the model dtype like the XLA reference (which casts
+    # w to x.dtype): bf16 operands keep the MXU in single-pass mode — fp32
+    # dots drop it to multi-pass and measured 3-6x slower at decoder shapes
+    x = x.astype(o_ref.dtype)
     cin = w_ref.shape[1]
     if k > 1:
         # stack the k shifted windows on the feature axis via VMEM scratch:
@@ -50,13 +54,14 @@ def _kernel(x_cur, x_nxt, w_ref, b_ref, ab_ref, o_ref, xcat_ref, *, k: int, dila
         # k separate K=cin dots run far below peak for small channel counts)
         for j in range(k):
             xcat_ref[:, j * cin : (j + 1) * cin] = x[j * dilation : j * dilation + block_t]
-        wcat = w_ref[:].reshape(k * cin, w_ref.shape[2])
+        wcat = w_ref[:].reshape(k * cin, w_ref.shape[2]).astype(o_ref.dtype)
         acc = jax.lax.dot_general(
             xcat_ref[:], wcat, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
     else:
         acc = jax.lax.dot_general(
-            x[:block_t], w_ref[0], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            x[:block_t], w_ref[0].astype(o_ref.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32
         )
     acc = acc + b_ref[0, :]
     o_ref[:] = acc.astype(o_ref.dtype)
@@ -99,7 +104,7 @@ def _forward(x, w, bias, alpha, inv_beta, dilation: int, padding: int, block_t: 
         ],
         out_specs=pl.BlockSpec((None, block_t, cout), lambda bb, i: (bb, i, 0)),
         out_shape=jax.ShapeDtypeStruct((b, n_t * block_t, cout), x.dtype),
-        scratch_shapes=[pltpu.VMEM((block_t, k * cin), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((block_t, k * cin), x.dtype)],
     )(xp, xp, w, bias.reshape(1, -1), ab)
     return out[:, :t, :]
 

@@ -33,6 +33,9 @@ def get_args():
     p.add_argument("--clip-length", action="store_true",
                    help="Clip generated audio to the specified 'seconds_total'.")
     p.add_argument("--seed", type=int, default=-1)
+    p.add_argument("--verbose", action="store_true",
+                   help="print sampler iters/sec every 10 steps (reference "
+                        "sampling.py:33-56 behavior)")
     return p.parse_args()
 
 
@@ -132,6 +135,7 @@ def main():
             sigma_max=500,
             sampler_type=args.sampler_type,
             seed=args.seed,
+            verbose=args.verbose,
         )
 
         import numpy as np

@@ -152,7 +152,7 @@ def snake_conv1d(
     inv_beta: tp.Optional[jnp.ndarray] = None,
     dilation: int = 1,
     padding: tp.Optional[int] = None,
-    block_t: int = 2048,
+    block_t: int = 4096,
 ) -> jnp.ndarray:
     """Fused snake(x) -> conv (stride 1, 'same'-style padding).
 
@@ -165,12 +165,13 @@ def snake_conv1d(
     if bias is None:
         bias = jnp.zeros((cout,), jnp.float32)
 
-    # pick the largest block_t whose working set fits in VMEM: input tiles,
-    # the [bt, k*cin] stacked window, fp32 accumulator, output tile, weights
+    # pick the largest block_t whose working set fits in VMEM: input tiles
+    # (fp32 after the snake), the [bt, k*cin] stacked window (model dtype,
+    # 2 B), fp32 accumulator + output tile, weights
     w_bytes = k * cin * cout * 4
     budget = 10 * 2**20 - w_bytes
     bt = block_t
-    while bt > 128 and 4 * bt * ((3 + k) * cin + 2 * cout) > budget:
+    while bt > 128 and bt * ((4 * 3 + 2 * k) * cin + 8 * cout) > budget:
         bt //= 2
 
     use_pallas = (

@@ -584,6 +584,14 @@ def load_torch_checkpoint_into_model(model, ckpt_path: str, model_config: dict) 
     if model_type in ("diffusion_cond", "diffusion_cond_inpaint", "diffusion_prior"):
         import jax
 
+        diffusion_type = model_config["model"].get("diffusion", {}).get("type", "dit")
+        if diffusion_type not in ("dit",):
+            # better a loud error than copy_state_dict silently matching
+            # nothing for adp/DAU backbones (SA-1.0-style configs)
+            raise NotImplementedError(
+                f"torch import for {model_type} with diffusion type="
+                f"{diffusion_type!r} is not implemented (DiT checkpoints — "
+                "SAO 1.0 / SA 2.0 — are supported)")
         if model.params is None:
             model.init(jax.random.PRNGKey(0))
         converted = convert_dit_state_dict(sd, "model.model.")

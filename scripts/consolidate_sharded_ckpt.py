@@ -37,6 +37,12 @@ def main():
     # arrays when no sharding is requested.
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     import jax
+
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        # env alone is not enough where a site hook force-registers an
+        # accelerator plugin (which may even hang if its tunnel is down);
+        # pin the platform before any backend init
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
     import orbax.checkpoint as ocp

@@ -18,6 +18,7 @@ vs_baseline is value / 20 (driver target: >20x real-time per chip).
 import json
 import os
 import sys
+import threading
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
@@ -25,6 +26,23 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _backend_watchdog(timeout_s: int = 180):
+    """Device-tunnel backends can hang indefinitely in backend init when the
+    remote side is unhealthy; bound that to a clear failure."""
+    ok = threading.Event()
+
+    def watch():
+        if not ok.wait(timeout_s):
+            print(f"FATAL: JAX backend init did not complete within {timeout_s}s "
+                  "(device tunnel unhealthy?)", file=sys.stderr, flush=True)
+            os._exit(3)
+
+    threading.Thread(target=watch, daemon=True).start()
+    n = jax.device_count()  # forces backend init
+    ok.set()
+    return n
 
 
 def build_models(dtype=jnp.bfloat16):
@@ -62,7 +80,7 @@ def main():
     cfg_scale = 7.0
     audio_seconds = sample_size / sample_rate  # 47.55
 
-    n_chips = jax.device_count()
+    n_chips = _backend_watchdog()
     vae, dit = build_models()
 
     rng = jax.random.PRNGKey(0)

@@ -138,6 +138,49 @@ def sample_dpmpp_2m_sde_torch(model, x, sigmas, noises, eta=1.0, s_noise=1.0):
     return x
 
 
+def sample_dpmpp_2s_ancestral_torch(model, x, sigmas, noises, eta=1.0, s_noise=1.0):
+    """k-diffusion sampling.sample_dpmpp_2s_ancestral."""
+    for i in range(len(sigmas) - 1):
+        denoised = model(x, sigmas[i])
+        sigma, sigma_next = sigmas[i], sigmas[i + 1]
+        sigma_up = torch.minimum(
+            sigma_next,
+            eta * (sigma_next**2 * (sigma**2 - sigma_next**2) / sigma**2) ** 0.5)
+        sigma_down = (sigma_next**2 - sigma_up**2) ** 0.5
+        if sigma_down == 0:
+            d = (x - denoised) / sigma
+            x = x + d * (sigma_down - sigma)
+        else:
+            t, t_next = -sigma.log(), -sigma_down.log()
+            r = 1 / 2
+            h = t_next - t
+            s = t + r * h
+            x_2 = ((-s).exp() / (-t).exp()) * x - (-r * h).expm1() * denoised
+            denoised_2 = model(x_2, (-s).exp())
+            x = ((-t_next).exp() / (-t).exp()) * x - (-h).expm1() * denoised_2
+        if sigma_next > 0:
+            x = x + noises[i] * s_noise * sigma_up
+    return x
+
+
+def sample_dpm_2_torch(model, x, sigmas):
+    """k-diffusion sampling.sample_dpm_2, s_churn=0."""
+    for i in range(len(sigmas) - 1):
+        denoised = model(x, sigmas[i])
+        d = (x - denoised) / sigmas[i]
+        if sigmas[i + 1] == 0:
+            x = x + d * (sigmas[i + 1] - sigmas[i])
+        else:
+            sigma_mid = (sigmas[i].log() * 0.5 + sigmas[i + 1].log() * 0.5).exp()
+            dt_1 = sigma_mid - sigmas[i]
+            dt_2 = sigmas[i + 1] - sigmas[i]
+            x_2 = x + d * dt_1
+            denoised_2 = model(x_2, sigma_mid)
+            d_2 = (x_2 - denoised_2) / sigma_mid
+            x = x + d_2 * dt_2
+    return x
+
+
 def sample_heun_torch(model, x, sigmas):
     """k-diffusion sampling.sample_heun, s_churn=0."""
     for i in range(len(sigmas) - 1):
@@ -197,4 +240,20 @@ def test_euler_matches_kdiffusion():
     rng = jax.random.PRNGKey(6)
     ours, x0 = _run_ours("k-euler", rng)
     theirs = sample_euler_torch(VDenoiserTorch(toy_model_torch), x0, _sigmas_torch())
+    _compare(ours, theirs)
+
+
+def test_dpmpp_2s_ancestral_matches_kdiffusion():
+    rng = jax.random.PRNGKey(8)
+    ours, x0 = _run_ours("k-dpmpp-2s-ancestral", rng)
+    noises = [torch.tensor(n) for n in _scan_noise_values(rng, STEPS, SHAPE)]
+    theirs = sample_dpmpp_2s_ancestral_torch(VDenoiserTorch(toy_model_torch), x0,
+                                             _sigmas_torch(), noises)
+    _compare(ours, theirs)
+
+
+def test_dpm_2_matches_kdiffusion():
+    rng = jax.random.PRNGKey(9)
+    ours, x0 = _run_ours("k-dpm-2", rng)
+    theirs = sample_dpm_2_torch(VDenoiserTorch(toy_model_torch), x0, _sigmas_torch())
     _compare(ours, theirs)

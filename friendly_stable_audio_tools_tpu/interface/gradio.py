@@ -104,22 +104,16 @@ def generate_cond(prompt, negative_prompt=None, seconds_start=0, seconds_total=3
 
     if preview_every == 0:
         preview_every = None
-    preview_images: tp.List = []
+    preview_latents: tp.List = []
     progress_callback = None
     if preview_every is not None:
-        from ..training.viz import audio_spectrogram_image
-
         def progress_callback(info):
+            # snapshot only — decoding here would re-enter jitted JAX from
+            # inside a host callback (deadlock-prone on TPU); gradio returns
+            # previews with the final output anyway, so decode afterwards
             step = info["i"]
-            if (step - 1) % int(preview_every) != 0:
-                return
-            denoised = info["denoised"]  # [B, L, C] latents (host numpy)
-            if MODEL.pretransform is not None:
-                denoised = np.asarray(MODEL.pretransform.decode_nwc(denoised))
-            # [B, T, C] -> [C, B*T] like the reference's "b d n -> d (b n)"
-            flat = np.clip(denoised.transpose(2, 0, 1).reshape(denoised.shape[-1], -1), -1, 1)
-            img = audio_spectrogram_image(flat, sample_rate=SAMPLE_RATE)
-            preview_images.append((img, f"Step {step} sigma={info['sigma']:.3f}"))
+            if (step - 1) % int(preview_every) == 0:
+                preview_latents.append((step, float(info["sigma"]), np.array(info["denoised"])))
 
     audio = generate_diffusion_cond(
         MODEL, steps=steps, cfg_scale=cfg_scale,
@@ -133,6 +127,16 @@ def generate_cond(prompt, negative_prompt=None, seconds_start=0, seconds_total=3
 
     out_audio = (SAMPLE_RATE, float_to_int16_audio(np.asarray(audio)[0]).T)
     if preview_every is not None:
+        from ..training.viz import audio_spectrogram_image
+
+        preview_images = []
+        for step, sigma, denoised in preview_latents:  # [B, L, C] latents
+            if MODEL.pretransform is not None:
+                denoised = np.asarray(MODEL.pretransform.decode_nwc(denoised))
+            # [B, T, C] -> [C, B*T] like the reference's "b d n -> d (b n)"
+            flat = np.clip(denoised.transpose(2, 0, 1).reshape(denoised.shape[-1], -1), -1, 1)
+            img = audio_spectrogram_image(flat, sample_rate=SAMPLE_RATE)
+            preview_images.append((img, f"Step {step} sigma={sigma:.3f}"))
         return out_audio, preview_images
     return out_audio
 

@@ -26,6 +26,7 @@ import numpy as np
 
 from .sampling import sample_k, sample_rf
 from .utils import prepare_audio
+from ..utils.trace_flags import trace_env_key as _trace_env_key
 
 
 def _resolve_seed(seed: int) -> int:
@@ -43,12 +44,14 @@ def _static_sampler_key(sampler_kwargs: dict):
     return tuple(items)
 
 
+
 def _jit_cached(model, key, build):
     """One cached jitted callable per (model, static config). The sampler
     scan MUST run under jit: eager lax.scan dispatches the whole DiT body
     op-by-op per step (measured ~400x slower over the TPU dispatch path for
     the chunked VAE scan; the 100-step denoise scan is the same shape of
     problem). Params are jit arguments, never closed-over constants."""
+    key = (key, _trace_env_key())
     cache = getattr(model, "_gen_jit_cache", None)
     if cache is None:
         cache = {}

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ..utils.trace_flags import trace_env_key
 from ..ops.activations import get_activation
 from ..ops.chunking import chunked_process, microbatched
 from ..ops.convs import WNConv1d, WNConvTranspose1d
@@ -324,7 +325,7 @@ class AudioAutoencoder:
         # default path: cached jit so host callers (pretransform encode, the
         # prior's stereoize, reconstruct CLI) get one compiled program instead
         # of eager per-op dispatch; inlined harmlessly under outer jits
-        if not hasattr(self, "_enc_jit"):
+        if getattr(self, "_enc_jit_key", None) != trace_env_key():
             def run(p, x, rng):
                 rngs = {"sample": rng} if rng is not None else {}
                 return self.module.apply(
@@ -332,6 +333,7 @@ class AudioAutoencoder:
                 )
 
             self._enc_jit = jax.jit(run)
+            self._enc_jit_key = trace_env_key()
         return self._enc_jit(self._p(params)["params"], x, rng)
 
     def decode(self, latents, iterate_batch: tp.Union[bool, int] = False, params=None,
@@ -350,12 +352,13 @@ class AudioAutoencoder:
         if kwargs:
             rngs = {"sample": rng} if rng is not None else {}
             return self.module.apply(self._p(params), z, method="decode", rngs=rngs, **kwargs)
-        if not hasattr(self, "_dec_jit"):
+        if getattr(self, "_dec_jit_key", None) != trace_env_key():
             def run(p, z, rng):
                 rngs = {"sample": rng} if rng is not None else {}
                 return self.module.apply({"params": p}, z, method="decode", rngs=rngs)
 
             self._dec_jit = jax.jit(run)
+            self._dec_jit_key = trace_env_key()
         return self._dec_jit(self._p(params)["params"], z, rng)
 
     def _pt_jit_params(self):
@@ -390,8 +393,9 @@ class AudioAutoencoder:
             if self.soft_clip:
                 x = jnp.tanh(x)
             return x.transpose(0, 2, 1)
-        if not hasattr(self, "_decode_tokens_jit"):
+        if getattr(self, "_decode_tokens_jit_key", None) != trace_env_key():
             self._decode_tokens_jit = jax.jit(run)
+            self._decode_tokens_jit_key = trace_env_key()
         p = params if params is not None else self.params
         return self._decode_tokens_jit(p, self._pt_jit_params(), jnp.asarray(tokens))
 
@@ -447,7 +451,7 @@ class AudioAutoencoder:
         decode). Params are jit arguments, not closed-over constants."""
         if not hasattr(self, "_chunk_jits"):
             self._chunk_jits = {}
-        key = (kind, chunk_size, overlap)
+        key = (kind, chunk_size, overlap, trace_env_key())
         if key not in self._chunk_jits:
             self._chunk_jits[key] = jax.jit(build())
         return self._chunk_jits[key]

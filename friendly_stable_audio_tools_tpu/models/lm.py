@@ -327,6 +327,8 @@ class AudioLanguageModelWrapper:
                    float(cfg_scale), int(top_k), float(top_p), float(temp))
         if not hasattr(self, "_gen_jits"):
             self._gen_jits = {}
+        from ..utils.trace_flags import trace_env_key
+        gen_key = (gen_key, trace_env_key())
         if gen_key not in self._gen_jits:
             self._gen_jits[gen_key] = jax.jit(run)
         gen_sequence = self._gen_jits[gen_key](

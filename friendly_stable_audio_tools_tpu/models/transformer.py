@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.attention import scaled_dot_product_attention, windowed_attention
+from ..ops.quant import QuantDense
 from ..ops.embeddings import (
     AbsolutePositionalEmbedding,
     ScaledSinusoidalEmbedding,
@@ -59,7 +60,7 @@ class GLU(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.dim_out * 2, param_dtype=jnp.float32, name="proj")(x)
+        x = QuantDense(self.dim_out * 2, param_dtype=jnp.float32, name="proj")(x)
         x, gate = jnp.split(x, 2, axis=-1)
         return x * self.activation(gate)
 
@@ -81,10 +82,10 @@ class FeedForward(nn.Module):
         if self.glu:
             x = GLU(self.dim, inner, name="linear_in")(x)
         else:
-            x = nn.Dense(inner, use_bias=not self.no_bias, param_dtype=jnp.float32, name="linear_in")(x)
+            x = QuantDense(inner, use_bias=not self.no_bias, param_dtype=jnp.float32, name="linear_in")(x)
             x = jax.nn.silu(x)
         kinit = nn.initializers.zeros if self.zero_init_output else nn.initializers.lecun_normal()
-        x = nn.Dense(
+        x = QuantDense(
             dim_out, use_bias=not self.no_bias, kernel_init=kinit,
             param_dtype=jnp.float32, name="linear_out",
         )(x)
@@ -137,11 +138,11 @@ class Attention(nn.Module):
             return t.reshape(b, n, heads, self.dim_heads).transpose(0, 2, 1, 3)
 
         if self.dim_context:
-            q = nn.Dense(self.dim, use_bias=False, param_dtype=jnp.float32, name="to_q")(x)
-            kv = nn.Dense(dim_kv * 2, use_bias=False, param_dtype=jnp.float32, name="to_kv")(kv_input)
+            q = QuantDense(self.dim, use_bias=False, param_dtype=jnp.float32, name="to_q")(x)
+            kv = QuantDense(dim_kv * 2, use_bias=False, param_dtype=jnp.float32, name="to_kv")(kv_input)
             k, v = jnp.split(kv, 2, axis=-1)
         else:
-            qkv = nn.Dense(self.dim * 3, use_bias=False, param_dtype=jnp.float32, name="to_qkv")(x)
+            qkv = QuantDense(self.dim * 3, use_bias=False, param_dtype=jnp.float32, name="to_qkv")(x)
 
             # Fused qkv-layout + rope + flash-attention path (opt-in via
             # FSAT_FUSED_ATTN=1): applies rope on q/k VMEM tiles inside the
@@ -169,8 +170,8 @@ class Attention(nn.Module):
                 out = fused_qkv_rope_attention(qkv, rotary_pos_emb, h)
                 kinit = (nn.initializers.zeros if self.zero_init_output
                          else nn.initializers.lecun_normal())
-                return nn.Dense(self.dim, use_bias=False, kernel_init=kinit,
-                                param_dtype=jnp.float32, name="to_out")(out)
+                return QuantDense(self.dim, use_bias=False, kernel_init=kinit,
+                                  param_dtype=jnp.float32, name="to_out")(out)
 
             q, k, v = jnp.split(qkv, 3, axis=-1)
 
@@ -232,7 +233,7 @@ class Attention(nn.Module):
         b, _, n, _ = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
         kinit = nn.initializers.zeros if self.zero_init_output else nn.initializers.lecun_normal()
-        out = nn.Dense(self.dim, use_bias=False, kernel_init=kinit, param_dtype=jnp.float32, name="to_out")(out)
+        out = QuantDense(self.dim, use_bias=False, kernel_init=kinit, param_dtype=jnp.float32, name="to_out")(out)
 
         if mask is not None and not has_context:
             out = jnp.where(mask[:, :, None], out, 0.0)

@@ -1,0 +1,133 @@
+"""Int8 dynamic-quantized matmul path (ops/quant.py).
+
+Checks (a) QuantDense is bit-identical to nn.Dense with the flag off —
+same param tree, same outputs — and (b) the int8 path's error is bounded
+on transformer-realistic distributions, both at the single-GEMM level and
+through a full DiT-style transformer forward.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import linen as nn
+
+from friendly_stable_audio_tools_tpu.ops import quant
+
+
+@pytest.fixture
+def int8_env(monkeypatch):
+    monkeypatch.setenv("FSAT_INT8_MATMUL", "1")
+    yield
+    monkeypatch.delenv("FSAT_INT8_MATMUL", raising=False)
+
+
+def test_quantdense_matches_nn_dense_exactly():
+    """Flag off: identical params and bit-identical output to nn.Dense."""
+    assert not quant.int8_matmul_enabled()
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 17, 48), jnp.float32)
+    ref = nn.Dense(96, param_dtype=jnp.float32)
+    q = quant.QuantDense(96, param_dtype=jnp.float32)
+    pr = ref.init(jax.random.PRNGKey(1), x)
+    pq = q.init(jax.random.PRNGKey(1), x)
+    assert jax.tree_util.tree_structure(pr) == jax.tree_util.tree_structure(pq)
+    for a, b in zip(jax.tree_util.tree_leaves(pr), jax.tree_util.tree_leaves(pq)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        np.asarray(ref.apply(pr, x)), np.asarray(q.apply(pr, x))
+    )
+    # and with bf16 inputs + pre-cast bf16 params (the inference regime)
+    pb = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), pr)
+    xb = x.astype(jnp.bfloat16)
+    np.testing.assert_array_equal(
+        np.asarray(ref.apply(pb, xb)), np.asarray(q.apply(pb, xb))
+    )
+
+
+def test_int8_matmul_error_bound(int8_env):
+    """Per-token dynamic int8: relative L2 error < 2% on Gaussian GEMMs."""
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (128, 256), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (256, 192), jnp.float32) * 0.02
+    y_ref = x @ w
+    y_q = quant.dynamic_int8_matmul(x, w)
+    rel = float(jnp.linalg.norm(y_q - y_ref) / jnp.linalg.norm(y_ref))
+    assert rel < 0.02, rel
+
+
+def test_int8_zero_rows_are_finite(int8_env):
+    """All-zero rows (CFG null-cond embedding) must not produce NaN/Inf."""
+    x = jnp.zeros((4, 64), jnp.bfloat16)
+    w = jax.random.normal(jax.random.PRNGKey(0), (64, 32), jnp.bfloat16)
+    y = quant.dynamic_int8_matmul(x, w)
+    assert bool(jnp.all(jnp.isfinite(y.astype(jnp.float32))))
+    np.testing.assert_array_equal(np.asarray(y, np.float32), 0.0)
+
+
+def test_int8_transformer_forward_fidelity(int8_env, monkeypatch):
+    """Full transformer forward: int8 output stays close to bf16 output."""
+    from friendly_stable_audio_tools_tpu.models.transformer import ContinuousTransformer
+
+    model = ContinuousTransformer(
+        dim=128, depth=2, dim_heads=32, dim_in=32, dim_out=32,
+        cross_attend=True, cond_token_dim=64, global_cond_dim=128,
+    )
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 64, 32), jnp.float32)
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 12, 64), jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(2), (2, 128), jnp.float32)
+    params = model.init(jax.random.PRNGKey(3), x, context=ctx, global_cond=g)
+    # De-zero every parameter: the residual out-projections are zero-init, so
+    # a fresh-init forward is independent of the attention/FF internals and
+    # would vacuously pass. Noise makes the quantized GEMMs observable.
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(42), len(leaves))
+    leaves = [l + 0.05 * jax.random.normal(k, l.shape, l.dtype) for l, k in zip(leaves, keys)]
+    params = jax.tree_util.tree_unflatten(treedef, leaves)
+
+    monkeypatch.setenv("FSAT_INT8_MATMUL", "0")
+    y_ref = model.apply(params, x, context=ctx, global_cond=g)
+    monkeypatch.setenv("FSAT_INT8_MATMUL", "1")
+    y_q = model.apply(params, x, context=ctx, global_cond=g)
+
+    rel = float(jnp.linalg.norm(y_q - y_ref) / (jnp.linalg.norm(y_ref) + 1e-12))
+    assert rel > 0.0, "int8 path did not engage (output identical to bf16)"
+    assert rel < 0.05, rel
+
+
+def _dezero(params, scale=0.05, seed=42):
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(leaves))
+    leaves = [l + scale * jax.random.normal(k, l.shape, l.dtype) for l, k in zip(leaves, keys)]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def test_generation_jit_cache_keys_on_trace_env(monkeypatch):
+    """Flipping a trace-time env flag between generate calls must recompile,
+    not serve the cached program (regression: the cache previously keyed
+    only on static args, so FSAT_INT8_MATMUL=1 silently ran bf16)."""
+    from test_generation import TINY_COND_CONFIG
+    from friendly_stable_audio_tools_tpu.models.factory import create_model_from_config
+    from friendly_stable_audio_tools_tpu.inference.generation import generate_diffusion_cond
+
+    monkeypatch.setenv("FSAT_ALLOW_HASH_TOKENIZER", "1")
+    model = create_model_from_config(TINY_COND_CONFIG, init_rng=jax.random.PRNGKey(0))
+    model.params = _dezero(model.params)
+    cond = [{"prompt": "a test tone", "seconds_total": 4.0}]
+    kw = dict(steps=2, cfg_scale=3.0, conditioning=cond, sample_size=1024, seed=7)
+
+    monkeypatch.setenv("FSAT_INT8_MATMUL", "0")
+    a0 = np.asarray(generate_diffusion_cond(model, **kw), np.float32)
+    monkeypatch.setenv("FSAT_INT8_MATMUL", "1")
+    a1 = np.asarray(generate_diffusion_cond(model, **kw), np.float32)
+
+    assert len(model._gen_jit_cache) == 2, "env flag missing from jit cache key"
+    assert np.isfinite(a1).all()
+    d = np.abs(a0 - a1).max()
+    assert d > 0.0, "int8 generation identical to bf16 — flag not honored"
+    # and it should still be close: the quantization is 8-bit symmetric
+    rel = np.linalg.norm(a1 - a0) / (np.linalg.norm(a0) + 1e-12)
+    assert rel < 0.3, rel

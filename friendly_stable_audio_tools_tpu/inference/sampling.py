@@ -100,15 +100,15 @@ def host_callbacks_supported() -> bool:
     return "axon" not in version
 
 
-def make_step_hooked_denoiser(denoiser, verbose: bool = False, callback=None,
-                              total_steps: tp.Optional[int] = None):
-    """Wrap a denoiser with host-side per-step hooks (reference
-    sampling.py:33-56 progress printing; k-diffusion callback convention
-    {'x','i','sigma','denoised'}). Implemented with ordered
-    `jax.debug.callback` so it works inside the compiled scan; zero cost when
-    neither hook is requested (the denoiser is returned unchanged)."""
+def make_step_emitter(verbose: bool = False, callback=None,
+                      total_steps: tp.Optional[int] = None):
+    """Host-side per-step hook emitter (reference sampling.py:33-56 progress
+    printing; k-diffusion callback convention {'x','i','sigma','denoised'}).
+    Returns `emit(x, sigma, denoised)` built on ordered `jax.debug.callback`
+    so it works inside the compiled scan, or None when no hook is requested
+    or the backend lacks host callbacks."""
     if not verbose and callback is None:
-        return denoiser
+        return None
     if not host_callbacks_supported():
         import logging
 
@@ -116,22 +116,26 @@ def make_step_hooked_denoiser(denoiser, verbose: bool = False, callback=None,
             "This JAX backend does not support host callbacks; sampler "
             "verbose/callback hooks are disabled for this run."
         )
-        return denoiser
+        return None
 
     import time as _time
 
-    state = {"i": 0, "t0": None}
+    state = {"i": 0, "t0": None, "last_sigma": None}
 
     def on_step(sigma, x, denoised):
-        i = state["i"]
-        state["i"] += 1
-        # single-model-eval samplers (dpmpp-2m/3m-sde, euler, lms — incl. the
-        # reference default) hit this once per step, so i is the step index
-        # and the counter resets cleanly between cached-jit invocations;
-        # multi-eval samplers (heun, dpm-2, 2s-ancestral) count NFEs instead.
-        if total_steps is not None and state["i"] >= total_steps:
+        # Sigma is non-increasing within one sampling run for every sampler
+        # (multi-eval samplers like heun/dpm-2 evaluate at intermediate but
+        # still-decreasing sigmas), so a sigma INCREASE marks the start of a
+        # new run of the same cached jitted program: reset the counter there.
+        # Counting evals (NFEs) rather than steps keeps i strictly monotonic
+        # for multi-eval samplers instead of wrapping mid-run.
+        sig = float(np.asarray(sigma))
+        if state["last_sigma"] is not None and sig > state["last_sigma"]:
             state["i"] = 0
             state["t0"] = None
+        state["last_sigma"] = sig
+        i = state["i"]
+        state["i"] += 1
         if callback is not None:
             callback({"i": i, "sigma": float(np.asarray(sigma)),
                       "x": np.asarray(x), "denoised": np.asarray(denoised)})
@@ -143,9 +147,23 @@ def make_step_hooked_denoiser(denoiser, verbose: bool = False, callback=None,
                 print(f"sampling step {i}{total}: {ips:.2f} iters/sec")
             state["t0"] = now
 
+    def emit(x, sigma, denoised):
+        jax.debug.callback(on_step, sigma, x, denoised, ordered=True)
+
+    return emit
+
+
+def make_step_hooked_denoiser(denoiser, verbose: bool = False, callback=None,
+                              total_steps: tp.Optional[int] = None):
+    """Wrap a denoiser so each call emits the step hook; identity (zero cost)
+    when no hook is requested."""
+    emit = make_step_emitter(verbose=verbose, callback=callback, total_steps=total_steps)
+    if emit is None:
+        return denoiser
+
     def wrapped(x, sigma):
         denoised = denoiser(x, sigma)
-        jax.debug.callback(on_step, sigma, x, denoised, ordered=True)
+        emit(x, sigma, denoised)
         return denoised
 
     return wrapped
@@ -675,9 +693,7 @@ def sample(model_fn, x, steps: int, eta: float = 0.0, rng: tp.Optional[jax.Array
     t = jnp.linspace(1, 0, steps + 1)[:-1]
     alphas, sigmas = get_alphas_sigmas(t)
 
-    hook = make_step_hooked_denoiser(lambda pred, sigma: pred, verbose=verbose,
-                                     callback=callback, total_steps=steps) \
-        if (verbose or callback is not None) else None
+    emit = make_step_emitter(verbose=verbose, callback=callback, total_steps=steps)
 
     def body(carry, ix):
         x, _ = carry
@@ -685,8 +701,8 @@ def sample(model_fn, x, steps: int, eta: float = 0.0, rng: tp.Optional[jax.Array
         ts = jnp.full((x.shape[0],), t[i], jnp.float32)
         v = model_fn(x.astype(jnp.float32), ts, **extra_args).astype(jnp.float32)
         pred = x * alphas[i] - v * sigmas[i]
-        if hook is not None:
-            pred = hook(pred, sigmas[i])
+        if emit is not None:
+            emit(x, sigmas[i], pred)
         eps = x * sigmas[i] + v * alphas[i]
 
         # next-step recombination (skipped on the final step)
@@ -715,17 +731,18 @@ def sample_discrete_euler(model_fn, x, steps: int, sigma_max: float = 1.0, verbo
     sigma_max -> 0, x += dt * model(x, t)."""
     t = jnp.linspace(sigma_max, 0, steps + 1)
 
-    hook = make_step_hooked_denoiser(lambda v, sigma: v, verbose=verbose,
-                                     callback=callback, total_steps=steps) \
-        if (verbose or callback is not None) else None
+    emit = make_step_emitter(verbose=verbose, callback=callback, total_steps=steps)
 
     def body(x, i):
         t_curr, t_prev = t[i], t[i + 1]
         ts = jnp.full((x.shape[0],), t_curr, jnp.float32)
         dt = t_prev - t_curr
         v = model_fn(x.astype(jnp.float32), ts, **extra_args).astype(jnp.float32)
-        if hook is not None:
-            v = hook(v, t_curr)
+        if emit is not None:
+            # k-diffusion convention: 'denoised' is the clean prediction.
+            # For rectified flow x_t = (1-t)x0 + t*noise, v = noise - x0,
+            # so x0 = x - t*v (NOT the raw velocity).
+            emit(x, t_curr, x - t_curr * v)
         x = x + dt * v
         return x, None
 

@@ -571,8 +571,10 @@ class UNet1d(nn.Module):
                 return None
             assert channels_list is not None, "Missing context"
             ch = channels_list[channels_ids[layer]]
-            # reference stft-encodes context channels whenever
-            # use_stft_context (adp.py:1207)
+            # reference stft-encodes context channels at EVERY layer when
+            # use_stft_context (adp.py:1207) while only scaling the DECLARED
+            # channel count for layer 0 (adp.py:1111) — deeper stft-context
+            # layers are inconsistent in the reference too; matched bug-for-bug
             if stft is not None and self.use_stft_context:
                 ch = stft.encode1d(ch)
             return ch

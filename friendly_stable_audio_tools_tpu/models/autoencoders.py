@@ -719,10 +719,11 @@ class DiffusionAutoencoder(AudioAutoencoder):
 
         if not hasattr(self, "_diffdec_jits"):
             self._diffdec_jits = {}
-        if steps not in self._diffdec_jits:
-            self._diffdec_jits[steps] = jax.jit(run)
+        dd_key = (steps, trace_env_key())
+        if dd_key not in self._diffdec_jits:
+            self._diffdec_jits[dd_key] = jax.jit(run)
         ae_params = params if params is not None else self.params
-        decoded = self._diffdec_jits[steps](ae_params, self.diffusion.params,
+        decoded = self._diffdec_jits[dd_key](ae_params, self.diffusion.params,
                                             self._pt_jit_params(), z0, rng)
         return decoded.transpose(0, 2, 1)
 

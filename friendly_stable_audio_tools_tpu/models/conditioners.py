@@ -138,11 +138,24 @@ class SimpleTokenizer:
         return {"input_ids": ids, "attention_mask": mask}
 
 
+def _is_sentencepiece_family(name: str) -> bool:
+    """Only T5-family (sentencepiece-unigram) tokenizers may resolve to a
+    spiece.model. BPE tokenizers (CLAP's roberta-base, GPT-style LUT names)
+    must NOT silently pick up an unrelated T5 spiece.model — that would be
+    wrong token ids with no error, the failure class the hard-fail ladder
+    exists to prevent."""
+    n = name.lower()
+    return "t5" in n or "ul2" in n or "spiece" in n
+
+
 def _find_spiece_model(name: str, tokenizer_path: tp.Optional[str]) -> tp.Optional[str]:
     """Locate a local sentencepiece `spiece.model` for `name`.
 
     Search order: explicit `tokenizer_path` (file or directory), then
-    `$FSAT_TOKENIZER_DIR/{,<name>/}spiece.model`.
+    `$FSAT_TOKENIZER_DIR/<name>/spiece.model` (name-scoped, any tokenizer),
+    then the bare `$FSAT_TOKENIZER_DIR/spiece.model` — the bare candidate
+    only for sentencepiece-family names: a directory holding the T5 model
+    must not capture roberta/CLAP tokenizer lookups.
     """
     import os
 
@@ -154,8 +167,10 @@ def _find_spiece_model(name: str, tokenizer_path: tp.Optional[str]) -> tp.Option
             candidates.append(tokenizer_path)
     root = os.environ.get("FSAT_TOKENIZER_DIR")
     if root:
+        candidates.append(os.path.join(root, name.replace("/", "--"), "spiece.model"))
         candidates.append(os.path.join(root, name, "spiece.model"))
-        candidates.append(os.path.join(root, "spiece.model"))
+        if _is_sentencepiece_family(name):
+            candidates.append(os.path.join(root, "spiece.model"))
     for c in candidates:
         if os.path.isfile(c):
             return c
@@ -172,7 +187,11 @@ def get_hf_tokenizer(name: str, fallback_vocab: int = 32100,
     if spiece is not None:
         from .sentencepiece import SentencePieceUnigramTokenizer
 
-        return SentencePieceUnigramTokenizer.from_file(spiece)
+        # HF T5 tokenizers append 100 <extra_id_*> sentinels after the 32000
+        # sentencepiece pieces (vocab 32100); LUT embedding tables sized by
+        # len(tokenizer) must match that or pretrained checkpoints break.
+        extra = 100 if _is_sentencepiece_family(name) else 0
+        return SentencePieceUnigramTokenizer.from_file(spiece, extra_ids=extra)
     previous = logging.root.manager.disable
     logging.disable(logging.ERROR)
     try:

@@ -123,8 +123,13 @@ class SentencePieceUnigramTokenizer:
     is_fallback = False
 
     def __init__(self, pieces: tp.Sequence[tp.Tuple[str, float, int]],
-                 add_dummy_prefix: bool = True):
+                 add_dummy_prefix: bool = True, extra_ids: int = 0):
         self.pieces = list(pieces)
+        # HF T5 convention: `extra_ids` sentinel tokens <extra_id_0..N-1>
+        # appended AFTER the sentencepiece inventory, in reverse order
+        # (<extra_id_0> gets the HIGHEST id). They count toward len()/
+        # vocab_size so LUT embeddings sized by len(tokenizer) match HF.
+        self.extra_ids = int(extra_ids)
         self.add_dummy_prefix = add_dummy_prefix
         self.piece_to_id: tp.Dict[str, int] = {}
         self.scores: tp.Dict[str, float] = {}
@@ -156,16 +161,27 @@ class SentencePieceUnigramTokenizer:
         self.unk_score = min_score - _UNK_PENALTY
 
     @classmethod
-    def from_file(cls, path: str) -> "SentencePieceUnigramTokenizer":
+    def from_file(cls, path: str, extra_ids: int = 0) -> "SentencePieceUnigramTokenizer":
         with open(path, "rb") as f:
-            return cls(parse_model_proto(f.read()))
+            return cls(parse_model_proto(f.read()), extra_ids=extra_ids)
 
     def __len__(self):
-        return len(self.pieces)
+        return len(self.pieces) + self.extra_ids
 
     @property
     def vocab_size(self):
-        return len(self.pieces)
+        return len(self.pieces) + self.extra_ids
+
+    def _extra_id_token(self, text: str) -> tp.Optional[int]:
+        """`<extra_id_N>` -> HF id base + (extra_ids - 1 - N), else None."""
+        if self.extra_ids and text.startswith("<extra_id_") and text.endswith(">"):
+            try:
+                n = int(text[len("<extra_id_"):-1])
+            except ValueError:
+                return None
+            if 0 <= n < self.extra_ids:
+                return len(self.pieces) + self.extra_ids - 1 - n
+        return None
 
     def normalize(self, text: str) -> str:
         text = unicodedata.normalize("NFKC", str(text))
@@ -176,6 +192,9 @@ class SentencePieceUnigramTokenizer:
 
     def encode_pieces(self, text: str) -> tp.List[int]:
         """Viterbi max-score segmentation of one (normalized) string."""
+        eid = self._extra_id_token(str(text).strip())
+        if eid is not None:
+            return [eid]
         s = self.normalize(text)
         n = len(s)
         if n == 0:

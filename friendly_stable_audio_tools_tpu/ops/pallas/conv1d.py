@@ -166,12 +166,13 @@ def snake_conv1d(
         bias = jnp.zeros((cout,), jnp.float32)
 
     # pick the largest block_t whose working set fits in VMEM: input tiles
-    # (fp32 after the snake), the [bt, k*cin] stacked window (model dtype,
-    # 2 B), fp32 accumulator + output tile, weights
+    # (fp32 after the snake), the [bt, k*cin] stacked window (model dtype —
+    # 2 B for bf16, 4 B for f32 runs), fp32 accumulator + output tile, weights
     w_bytes = k * cin * cout * 4
+    xdt_bytes = jnp.dtype(x.dtype).itemsize
     budget = 10 * 2**20 - w_bytes
     bt = block_t
-    while bt > 128 and bt * ((4 * 3 + 2 * k) * cin + 8 * cout) > budget:
+    while bt > 128 and bt * ((4 * 3 + xdt_bytes * k) * cin + 8 * cout) > budget:
         bt //= 2
 
     use_pallas = (

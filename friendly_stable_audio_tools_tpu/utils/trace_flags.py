@@ -14,9 +14,14 @@ import os
 TRACE_TIME_ENV_FLAGS = (
     "FSAT_INT8_MATMUL",
     "FSAT_FUSED_ATTN",
+    "FSAT_PALLAS_CROSS",
+    "FSAT_PALLAS_INTERPRET",
+    "FSAT_DISABLE_PALLAS_ATTN",
     "FSAT_DISABLE_PALLAS_CONV",
     "FSAT_DISABLE_CFG_CROSS_SKIP",
     "FSAT_DISABLE_SEQ_PAD",
+    "FSAT_FORCE_SEQ_PAD",
+    "FSAT_FORCE_HOST_CALLBACKS",
 )
 
 

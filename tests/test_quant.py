@@ -113,7 +113,7 @@ def test_generation_jit_cache_keys_on_trace_env(monkeypatch):
     from friendly_stable_audio_tools_tpu.models.factory import create_model_from_config
     from friendly_stable_audio_tools_tpu.inference.generation import generate_diffusion_cond
 
-    monkeypatch.setenv("FSAT_ALLOW_HASH_TOKENIZER", "1")
+    monkeypatch.setenv("FSAT_ALLOW_FALLBACK_TOKENIZER", "1")
     model = create_model_from_config(TINY_COND_CONFIG, init_rng=jax.random.PRNGKey(0))
     model.params = _dezero(model.params)
     cond = [{"prompt": "a test tone", "seconds_total": 4.0}]

@@ -70,3 +70,38 @@ def test_sample_rf_callback():
                     callback=infos.append)
     jax.block_until_ready(out)
     assert len(infos) == 5
+
+
+def test_sample_rf_callback_denoised_is_x0_not_velocity():
+    """k-diffusion convention: info['denoised'] is the clean prediction.
+    For rectified flow that is x - t*v (regression: the hook used to emit
+    the raw velocity as both 'x' and 'denoised')."""
+    infos = []
+    noise = jnp.asarray(np.random.default_rng(7).standard_normal((1, 8, 2)), jnp.float32)
+    out = sample_rf(_toy_model, noise, steps=4, rng=jax.random.PRNGKey(0),
+                    callback=infos.append)
+    jax.block_until_ready(out)
+    for info in infos:
+        x = np.asarray(info["x"], np.float64)
+        t = info["sigma"]
+        v = -0.1 * x  # the toy model's velocity
+        np.testing.assert_allclose(np.asarray(info["denoised"], np.float64),
+                                   x - t * v, rtol=1e-5, atol=1e-6)
+        # x and denoised must be distinct arrays (t > 0 and v != 0)
+        assert np.abs(np.asarray(info["denoised"]) - x).max() > 0
+
+
+def test_multi_eval_sampler_counter_monotonic_across_runs():
+    """Multi-eval samplers (heun: 2 NFEs/step) must produce strictly
+    increasing i within a run and reset between runs (the counter used to
+    wrap at total_steps mid-run)."""
+    noise = jnp.asarray(np.random.default_rng(1).standard_normal((1, 16, 4)), jnp.float32)
+    for run in range(2):
+        infos = []
+        out = sample_k(_toy_model, noise, steps=4, sampler_type="k-heun",
+                       sigma_min=0.3, sigma_max=10.0, rng=jax.random.PRNGKey(run),
+                       callback=infos.append)
+        jax.block_until_ready(out)
+        idx = [i["i"] for i in infos]
+        assert idx[0] == 0, f"run {run}: counter did not reset ({idx[:3]}...)"
+        assert idx == sorted(idx) and len(set(idx)) == len(idx), idx

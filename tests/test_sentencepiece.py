@@ -168,3 +168,47 @@ def test_pretrained_loading_hard_fails_on_fallback_tokenizer():
         pass
 
     assert_no_fallback_tokenizers(NoCondModel())  # no conditioner: fine
+
+
+def test_bare_spiece_dir_not_used_for_bpe_tokenizers(tmp_path, monkeypatch):
+    """A checkpoint dir holding the T5 spiece.model must NOT capture lookups
+    for BPE tokenizers (CLAP's roberta-base): that would be silently-wrong
+    token ids. Name-scoped subdirs still resolve for any name."""
+    data = build_model(BASE + [("▁hi", -1.0, TYPE_NORMAL)])
+    (tmp_path / "spiece.model").write_bytes(data)
+    monkeypatch.setenv("FSAT_TOKENIZER_DIR", str(tmp_path))
+    monkeypatch.setenv("HF_HUB_OFFLINE", "1")
+    from friendly_stable_audio_tools_tpu.models.conditioners import (
+        SimpleTokenizer, get_hf_tokenizer,
+    )
+
+    tok = get_hf_tokenizer("roberta-base", 50265)
+    assert not isinstance(tok, SentencePieceUnigramTokenizer)
+    assert isinstance(tok, SimpleTokenizer)  # falls through the ladder instead
+
+    # name-scoped subdir is explicit -> honored for any name
+    sub = tmp_path / "my-sp-model"
+    sub.mkdir()
+    (sub / "spiece.model").write_bytes(data)
+    tok2 = get_hf_tokenizer("my-sp-model", 100)
+    assert isinstance(tok2, SentencePieceUnigramTokenizer)
+
+
+def test_t5_extra_ids_vocab_and_sentinels(tmp_path, monkeypatch):
+    """HF T5 tokenizers report 32100 = pieces + 100 <extra_id_*>; LUT
+    embeddings sized by len(tokenizer) must match pretrained checkpoints."""
+    data = build_model(BASE + [("▁hi", -1.0, TYPE_NORMAL)])
+    (tmp_path / "spiece.model").write_bytes(data)
+    monkeypatch.setenv("FSAT_TOKENIZER_DIR", str(tmp_path))
+    from friendly_stable_audio_tools_tpu.models.conditioners import get_hf_tokenizer
+
+    tok = get_hf_tokenizer("t5-base", 32100)
+    n_pieces = len(tok.pieces)
+    assert len(tok) == n_pieces + 100
+    assert tok.vocab_size == n_pieces + 100
+    # HF convention: <extra_id_0> gets the HIGHEST id
+    assert tok.encode_pieces("<extra_id_0>") == [n_pieces + 99]
+    assert tok.encode_pieces("<extra_id_99>") == [n_pieces]
+    # normal text unaffected
+    ids = tok(["hi"], max_length=8)
+    assert ids["input_ids"].shape == (1, 8)

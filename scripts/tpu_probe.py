@@ -14,6 +14,7 @@ Sections
            CFG batch 2 and 16 (the batch-scaling suspect).
   step   : full CFG denoise step, bf16 vs FSAT_INT8_MATMUL=1, batch 1 and 8.
   layout : qkv split/transpose layout ops in isolation vs batch.
+  train  : SAO-scale DiT training step (fwd+bwd) on pre-encoded latents.
 
 Timing notes: `block_until_ready` does not synchronize on the tunneled
 backend — every timed call forces a scalar host transfer instead.
@@ -186,10 +187,65 @@ def probe_layout(n=20):
              gb_per_s=round(2 * qkv.nbytes / t / 1e9, 1))
 
 
+# --------------------------------------------------------------- train --
+
+def probe_train(n=5):
+    """SAO-scale DiT training step (fwd+bwd+SGD apply) on pre-encoded
+    latents. SGD keeps the probe within single-chip HBM (1.14B params:
+    bf16 params 2.3 GB + bf16 grads 2.3 GB; Adam's fp32 moments belong on
+    an fsdp mesh, not one chip) — the measured cost is the fwd+bwd compute,
+    which optimizer choice does not change."""
+    import optax
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import build_models
+
+    _, dit = build_models()
+    rng = jax.random.PRNGKey(0)
+    for batch in (4, 8):
+        x0 = jnp.zeros((batch, 1024, 64), jnp.bfloat16)
+        t0 = jnp.zeros((batch,), jnp.float32)
+        cond = jax.random.normal(jax.random.fold_in(rng, 1), (batch, 130, 768), jnp.bfloat16) * 0.02
+        g = jax.random.normal(jax.random.fold_in(rng, 2), (batch, 1536), jnp.bfloat16) * 0.02
+        params = dit.init(jax.random.PRNGKey(0), x0, t0, cross_attn_cond=cond, global_embed=g)["params"]
+        params = jax.tree_util.tree_map(lambda p: (p * 0.5).astype(jnp.bfloat16), params)
+        opt = optax.sgd(1e-4)
+        opt_state = opt.init(params)
+        latents = jax.random.normal(jax.random.fold_in(rng, 3), (batch, 1024, 64), jnp.bfloat16)
+
+        @jax.jit
+        def train_step(params, opt_state, latents, key):
+            k_t, k_n = jax.random.split(key)
+            t = jax.random.uniform(k_t, (batch,))
+            noise = jax.random.normal(k_n, latents.shape, jnp.float32)
+            alphas = jnp.cos(t * jnp.pi / 2)[:, None, None]
+            sigmas = jnp.sin(t * jnp.pi / 2)[:, None, None]
+            noised = latents * alphas + noise * sigmas
+            targets = noise * alphas - latents * sigmas  # v-objective
+
+            def loss_fn(p):
+                v = dit.apply({"params": p}, noised.astype(jnp.bfloat16), t,
+                              cross_attn_cond=cond, global_embed=g)
+                return jnp.mean((v.astype(jnp.float32) - targets) ** 2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        def run(params, opt_state, latents, key):
+            p, o, loss = train_step(params, opt_state, latents, key)
+            return loss
+
+        t = timeit(functools.partial(run, params, opt_state, latents), jax.random.PRNGKey(1), n=n)
+        emit(probe="train_step", batch=batch, ms=round(t * 1e3, 2),
+             samples_per_s=round(batch / t, 2),
+             latent_frames_per_s=round(batch * 1024 / t))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--section", default="all",
-                    choices=["gemm", "attn", "step", "layout", "all"])
+                    choices=["gemm", "attn", "step", "layout", "train", "all"])
     ap.add_argument("-n", type=int, default=10)
     args = ap.parse_args()
     emit(probe="env", platform=jax.devices()[0].platform,
@@ -202,6 +258,8 @@ def main():
         probe_layout(args.n)
     if args.section in ("step", "all"):
         probe_step(max(3, args.n // 2))
+    if args.section in ("train", "all"):
+        probe_train(max(3, args.n // 2))
 
 
 if __name__ == "__main__":

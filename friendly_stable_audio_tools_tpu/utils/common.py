@@ -118,3 +118,16 @@ def _unflatten_dict(flat, sep: str = "/"):
             cur = cur.setdefault(p, {})
         cur[parts[-1]] = v
     return out
+
+def enable_compilation_cache(path: str = "/tmp/jax_cache") -> None:
+    """Enable JAX's persistent compilation cache for CLI entry points.
+
+    First TPU compile of the SAO sampler scan is ~20-40 s; the on-disk cache
+    makes repeat CLI invocations (generate, reconstruct, gradio restarts)
+    start in seconds. Honors an existing JAX_COMPILATION_CACHE_DIR; safe to
+    call before or after backend init."""
+    path = os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", path)
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+    except Exception:
+        pass  # older jax: env var alone is sufficient

@@ -63,6 +63,8 @@ def parse_cond_yaml(yaml_path):
 
 
 def main():
+    from friendly_stable_audio_tools_tpu.utils.common import enable_compilation_cache
+    enable_compilation_cache()
     args = get_args()
 
     import jax

@@ -27,6 +27,8 @@ def get_args():
 
 
 def main():
+    from friendly_stable_audio_tools_tpu.utils.common import enable_compilation_cache
+    enable_compilation_cache()
     args = get_args()
 
     import jax

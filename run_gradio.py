@@ -5,6 +5,8 @@ import argparse
 
 
 def main():
+    from friendly_stable_audio_tools_tpu.utils.common import enable_compilation_cache
+    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--model-config", type=str, default=None)
     p.add_argument("--ckpt-path", type=str, default=None)

@@ -19,6 +19,8 @@ from friendly_stable_audio_tools_tpu.utils.common import copy_state_dict, set_se
 
 
 def main():
+    from friendly_stable_audio_tools_tpu.utils.common import enable_compilation_cache
+    enable_compilation_cache()
     args = get_all_args()
 
     seed = args.seed

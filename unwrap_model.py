@@ -11,6 +11,8 @@ import json
 
 
 def main():
+    from friendly_stable_audio_tools_tpu.utils.common import enable_compilation_cache
+    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--model-config", type=str, required=True)
     p.add_argument("--ckpt-path", type=str, required=True, help="Trainer checkpoint dir (orbax).")

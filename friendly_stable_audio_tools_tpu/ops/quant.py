@@ -13,7 +13,9 @@ matmul runs as
 Weight quantization is loop-invariant inside the sampler scan, so XLA's
 while-loop LICM hoists it out of the 100-step loop; only the per-token
 activation quantization (one |max| reduce + multiply + cast per GEMM) runs
-per step.
+per step. Verified on compiled HLO: the while carry holds the s8 kernels +
+f32 scales (quantized once, pre-loop), and no weight-shaped
+round/clamp/convert remains in the loop body.
 
 Off (the default) it is bit-identical to `flax.linen.Dense`: same parameter
 names ("kernel"/"bias"), same shape convention, same dtype-promotion rule,

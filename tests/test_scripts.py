@@ -42,7 +42,7 @@ def test_consolidate_to_safetensors(tmp_path):
     # bf16 upcast to fp32 (ZeRO->fp32 parity semantics)
     assert flat["params/w"].dtype == np.float32
     np.testing.assert_array_equal(flat["params/w"], np.arange(6, dtype=np.float32).reshape(2, 3))
-    assert int(flat["step"]) == 7
+    assert int(np.asarray(flat["step"]).item()) == 7
 
 
 def test_consolidate_to_orbax(tmp_path):

@@ -80,6 +80,12 @@ def main():
     cfg_scale = 7.0
     audio_seconds = sample_size / sample_rate  # 47.55
 
+    # transparency: list any non-default perf toggles leaking in from the
+    # environment (they change the compiled program and possibly outputs)
+    active = {k: v for k, v in os.environ.items() if k.startswith("FSAT_") and v}
+    if active:
+        print(f"active FSAT flags: {active}", file=sys.stderr)
+
     n_chips = _backend_watchdog()
     vae, dit = build_models()
 

@@ -66,6 +66,18 @@ class Trainer:
         self.profile_steps = profile_steps
         self._profiling = False
 
+        from ..ops.quant import int8_matmul_enabled
+
+        if int8_matmul_enabled():
+            import logging
+
+            logging.warning(
+                "FSAT_INT8_MATMUL=1 is set while TRAINING: the int8 rounding "
+                "has zero gradient, so the quantized projections will not "
+                "learn. The flag is an inference-only optimization — unset "
+                "it for training runs."
+            )
+
         if gradient_clip_val and gradient_clip_val > 0:
             # global-norm clipping wraps the wrapper's optimizers
             # (PTL gradient_clip_val parity, reference train.py:128)

@@ -120,14 +120,25 @@ def _unflatten_dict(flat, sep: str = "/"):
     return out
 
 def enable_compilation_cache(path: str = "/tmp/jax_cache") -> None:
-    """Enable JAX's persistent compilation cache for CLI entry points.
+    """CLI entry-point JAX init: persistent compilation cache + platform pin.
 
     First TPU compile of the SAO sampler scan is ~20-40 s; the on-disk cache
     makes repeat CLI invocations (generate, reconstruct, gradio restarts)
     start in seconds. Honors an existing JAX_COMPILATION_CACHE_DIR; safe to
-    call before or after backend init."""
+    call before or after backend init.
+
+    Also pins `jax_platforms` from the JAX_PLATFORMS env var in-process:
+    site hooks that force-register an accelerator plugin override the bare
+    env var, so `JAX_PLATFORMS=cpu python generate.py ...` would otherwise
+    silently run on (or hang on) the accelerator."""
     path = os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", path)
     try:
         jax.config.update("jax_compilation_cache_dir", path)
     except Exception:
         pass  # older jax: env var alone is sufficient
+    platforms = os.environ.get("JAX_PLATFORMS")
+    if platforms:
+        try:
+            jax.config.update("jax_platforms", platforms)
+        except Exception:
+            pass  # backend already initialized: too late to repin

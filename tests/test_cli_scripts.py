@@ -1,0 +1,96 @@
+"""End-to-end CLI smoke tests: run the root scripts as real subprocesses.
+
+These exercise the actual user surface (argparse, config loading, file IO,
+platform pinning via JAX_PLATFORMS — which enable_compilation_cache applies
+in-process so it works even where site hooks force-register an accelerator
+plugin), not just the library functions behind them.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(argv, timeout=600):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["FSAT_ALLOW_FALLBACK_TOKENIZER"] = "1"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    return subprocess.run([sys.executable] + argv, cwd=REPO, env=env,
+                          capture_output=True, text=True, timeout=timeout)
+
+
+@pytest.fixture(scope="module")
+def tiny_cond_config(tmp_path_factory):
+    from test_generation import TINY_COND_CONFIG
+
+    p = tmp_path_factory.mktemp("cfg") / "model_config.json"
+    p.write_text(json.dumps(TINY_COND_CONFIG))
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def tiny_vae_config(tmp_path_factory):
+    from test_generation import TINY_VAE
+
+    cfg = {
+        "model_type": "autoencoder",
+        "sample_size": 1024,
+        "sample_rate": 16000,
+        "audio_channels": 2,
+        "model": TINY_VAE,
+    }
+    p = tmp_path_factory.mktemp("cfg") / "vae_config.json"
+    p.write_text(json.dumps(cfg))
+    return str(p)
+
+
+def test_generate_cli(tmp_path, tiny_cond_config):
+    yaml_path = tmp_path / "conds.yaml"
+    yaml_path.write_text(
+        "smoke:\n"
+        "  first:\n"
+        "    prompt: a short test tone\n"
+        "    seconds_total: 4\n"
+    )
+    out_dir = tmp_path / "out"
+    r = _run([
+        "generate.py", "--output-dir", str(out_dir),
+        "--cond-yaml-path", str(yaml_path),
+        "--model-config", tiny_cond_config,
+        "--sample-steps", "2", "--batch-size", "2", "--seed", "3",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    wavs = sorted(out_dir.rglob("*.wav"))
+    assert wavs, f"no wavs written; stdout={r.stdout[-800:]}"
+    from friendly_stable_audio_tools_tpu.data.dataset import load_audio_file
+
+    audio, sr = load_audio_file(str(wavs[0]))
+    assert sr == 16000
+    assert np.isfinite(np.asarray(audio)).all()
+
+
+def test_reconstruct_cli(tmp_path, tiny_vae_config):
+    from friendly_stable_audio_tools_tpu.utils.audio_utils import write_wav
+
+    audio_dir = tmp_path / "audio"
+    audio_dir.mkdir()
+    t = np.linspace(0, 1, 16000, dtype=np.float32)
+    sine = 0.4 * np.sin(2 * np.pi * 440 * t)
+    write_wav(str(audio_dir / "tone.wav"), 16000, np.stack([sine, sine]))
+
+    out_dir = tmp_path / "recon"
+    r = _run([
+        "reconstruct_audios.py", "--model-config", tiny_vae_config,
+        "--audio-dir", str(audio_dir), "--output-dir", str(out_dir),
+        "--frame-duration", "0.25", "--batch-size", "2",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    wavs = sorted(out_dir.rglob("*.wav"))
+    assert wavs, f"no reconstructions written; stdout={r.stdout[-800:]}"

@@ -262,8 +262,21 @@ class DataLoader:
         return min(n, self.epoch_steps) if self.epoch_steps else n
 
     def _index_stream(self):
+        n = len(self.dataset)
+        if n < self.batch_size:
+            # A dataset smaller than one batch with drop_last would yield an
+            # EMPTY epoch — the infinite epoch loop then spins forever
+            # producing nothing and iteration deadlocks. Tiny smoke datasets
+            # (example/dataset has 2 files) instead oversample with
+            # replacement; random_crop makes repeated files distinct samples.
+            logging.warning(
+                "Dataset has %d samples < batch_size %d: sampling with "
+                "replacement to fill batches.", n, self.batch_size,
+            )
+            while True:
+                yield [self._rng.randrange(n) for _ in range(self.batch_size)]
         while True:
-            order = list(range(len(self.dataset)))
+            order = list(range(n))
             if self.shuffle:
                 self._rng.shuffle(order)
             tail = len(order) % self.batch_size

@@ -94,3 +94,41 @@ def test_reconstruct_cli(tmp_path, tiny_vae_config):
     assert r.returncode == 0, r.stderr[-2000:]
     wavs = sorted(out_dir.rglob("*.wav"))
     assert wavs, f"no reconstructions written; stdout={r.stdout[-800:]}"
+
+
+def test_train_then_unwrap_cli(tmp_path, tiny_cond_config):
+    """Full workflow: train.py 2 steps on the example wav dataset, checkpoint
+    every step, then unwrap_model.py exports EMA weights as safetensors."""
+    from test_generation import TINY_COND_CONFIG
+
+    cfg = json.loads(json.dumps(TINY_COND_CONFIG))
+    cfg["training"] = {
+        "learning_rate": 1e-4,
+        "checkpoint": {"every_n_train_steps": 2},
+        "demo": {"demo_every": 100000},
+    }
+    cfg_path = tmp_path / "model_config.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    save_dir = tmp_path / "runs"
+    # the suite env exposes 8 virtual CPU devices; train.py data-parallels
+    # over all of them by default, so batch must be divisible by 8 — this
+    # exercises the real dp mesh path through the CLI
+    r = _run([
+        "train.py", "--model-config", str(cfg_path),
+        "--dataset-config", "example/local_training_example.json",
+        "--save-dir", str(save_dir), "--name", "cli-smoke",
+        "--batch-size", "8", "--max-steps", "2", "--num-workers", "0",
+        "--seed", "5",
+    ])
+    assert r.returncode == 0, r.stderr[-3000:]
+    ckpts = sorted(save_dir.rglob("step_2"))
+    assert ckpts, f"no checkpoint written; tree={[str(p) for p in save_dir.rglob('*')][:20]}"
+
+    r2 = _run([
+        "unwrap_model.py", "--model-config", str(cfg_path),
+        "--ckpt-path", str(ckpts[0]), "--name", str(tmp_path / "exported"),
+    ])
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    out = tmp_path / "exported.safetensors"
+    assert out.is_file() and out.stat().st_size > 0

@@ -36,6 +36,10 @@ def get_args():
     p.add_argument("--verbose", action="store_true",
                    help="print sampler iters/sec every 10 steps (reference "
                         "sampling.py:33-56 behavior)")
+    p.add_argument("--int8", action="store_true",
+                   help="int8 dynamic-quantized transformer GEMMs (faster on "
+                        "TPU MXU; changes outputs ~2%% vs bf16 — see "
+                        "docs/performance.md)")
     return p.parse_args()
 
 
@@ -66,6 +70,9 @@ def main():
     from friendly_stable_audio_tools_tpu.utils.common import enable_compilation_cache
     enable_compilation_cache()
     args = get_args()
+
+    if args.int8:
+        os.environ["FSAT_INT8_MATMUL"] = "1"
 
     import jax
 

@@ -132,3 +132,53 @@ def test_train_then_unwrap_cli(tmp_path, tiny_cond_config):
     assert r2.returncode == 0, r2.stderr[-3000:]
     out = tmp_path / "exported.safetensors"
     assert out.is_file() and out.stat().st_size > 0
+
+
+def test_train_autoencoder_cli(tmp_path):
+    """AE GAN training (alternating gen/disc steps) through the train.py CLI
+    on the example wav dataset."""
+    from test_generation import TINY_VAE
+
+    cfg = {
+        "model_type": "autoencoder",
+        "sample_size": 1024,
+        "sample_rate": 16000,
+        "audio_channels": 2,
+        "model": json.loads(json.dumps(TINY_VAE)),
+        "training": {
+            "learning_rate": 1e-4,
+            "warmup_steps": 1,
+            "use_ema": True,
+            "checkpoint": {"every_n_train_steps": 2},
+            "demo": {"demo_every": 100000},
+            "loss_configs": {
+                "discriminator": {
+                    "type": "encodec",
+                    "config": {"filters": 8, "n_ffts": [128, 64], "hop_lengths": [32, 16],
+                               "win_lengths": [128, 64]},
+                    "weights": {"adversarial": 0.1, "feature_matching": 5.0},
+                },
+                "spectral": {
+                    "type": "mrstft",
+                    "config": {"fft_sizes": [128, 64], "hop_sizes": [32, 16],
+                               "win_lengths": [128, 64]},
+                    "weights": {"mrstft": 1.0},
+                },
+                "time": {"type": "l1", "weights": {"l1": 0.1}},
+                "bottleneck": {"type": "kl", "weights": {"kl": 1e-4}},
+            },
+        },
+    }
+    cfg_path = tmp_path / "vae_train_config.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    save_dir = tmp_path / "runs"
+    r = _run([
+        "train.py", "--model-config", str(cfg_path),
+        "--dataset-config", "example/local_training_example.json",
+        "--save-dir", str(save_dir), "--name", "vae-smoke",
+        "--batch-size", "8", "--max-steps", "2", "--num-workers", "0",
+        "--seed", "5",
+    ])
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert sorted(save_dir.rglob("step_2")), "no checkpoint written"

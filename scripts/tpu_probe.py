@@ -152,6 +152,7 @@ def probe_step(n=5):
         x = jax.random.normal(jax.random.fold_in(rng, 3), (batch, 1024, 64), jnp.bfloat16)
         t_sig = jnp.full((batch,), 0.5, jnp.float32)
 
+        outs = {}
         for int8 in ("0", "1"):
             os.environ["FSAT_INT8_MATMUL"] = int8
 
@@ -161,9 +162,14 @@ def probe_step(n=5):
                                  global_embed=g, cfg_scale=7.0)
 
             t = timeit(step, params, x, t_sig, cond, g, n=n)
+            outs[int8] = np.asarray(step(params, x, t_sig, cond, g), np.float32)
             emit(probe="cfg_step", batch=batch, int8=int8 == "1",
                  ms=round(t * 1e3, 2),
                  s_audio_per_s_per_chip_100steps=round(47.55 * batch / (t * 100), 2))
+        rel = float(np.linalg.norm(outs["1"] - outs["0"]) /
+                    (np.linalg.norm(outs["0"]) + 1e-12))
+        emit(probe="cfg_step_int8_fidelity", batch=batch,
+             rel_l2_vs_bf16=round(rel, 5))
         os.environ.pop("FSAT_INT8_MATMUL", None)
 
 

@@ -148,7 +148,13 @@ def probe_step(n=5):
         cond = jax.random.normal(jax.random.fold_in(rng, 1), (batch, 130, 768), jnp.bfloat16) * 0.02
         g = jax.random.normal(jax.random.fold_in(rng, 2), (batch, 1536), jnp.bfloat16) * 0.02
         params = dit.init(jax.random.PRNGKey(0), x0, t0, cross_attn_cond=cond, global_embed=g)["params"]
-        params = jax.tree_util.tree_map(lambda p: (p * 0.5).astype(jnp.bfloat16), params)
+        # de-zero the zero-init residual out-projections, or the transformer
+        # body contributes nothing and the int8 fidelity number is vacuous
+        leaves, treedef = jax.tree_util.tree_flatten(params)
+        keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+        leaves = [((l * 0.5) + 0.02 * jax.random.normal(k, l.shape)).astype(jnp.bfloat16)
+                  for l, k in zip(leaves, keys)]
+        params = jax.tree_util.tree_unflatten(treedef, leaves)
         x = jax.random.normal(jax.random.fold_in(rng, 3), (batch, 1024, 64), jnp.bfloat16)
         t_sig = jnp.full((batch,), 0.5, jnp.float32)
 

@@ -30,20 +30,22 @@ def create_mesh(
     fsdp: int = 1,
     tensor: int = 1,
     seq: int = 1,
+    pipe: int = 1,
     devices=None,
 ) -> Mesh:
-    """Build a ('data', 'fsdp', 'tensor', 'seq') mesh. Defaults to pure data
-    parallelism over all local devices; `seq` is the sequence-parallel axis
-    for long-form DiT inference (parallel/sp.py)."""
+    """Build a ('data', 'fsdp', 'tensor', 'seq', 'pipe') mesh. Defaults to
+    pure data parallelism over all local devices; `seq` is the
+    sequence-parallel axis for long-form DiT inference (parallel/sp.py),
+    `pipe` the pipeline-parallel stage axis (parallel/pp.py)."""
     devices = devices if devices is not None else jax.devices()
     n = n_devices or len(devices)
     devices = np.asarray(devices[:n])
     if data is None:
-        data = n // (fsdp * tensor * seq)
-    assert data * fsdp * tensor * seq == n, \
-        f"mesh {data}x{fsdp}x{tensor}x{seq} != {n} devices"
-    return Mesh(devices.reshape(data, fsdp, tensor, seq),
-                ("data", "fsdp", "tensor", "seq"))
+        data = n // (fsdp * tensor * seq * pipe)
+    assert data * fsdp * tensor * seq * pipe == n, \
+        f"mesh {data}x{fsdp}x{tensor}x{seq}x{pipe} != {n} devices"
+    return Mesh(devices.reshape(data, fsdp, tensor, seq, pipe),
+                ("data", "fsdp", "tensor", "seq", "pipe"))
 
 
 def shard_batch(batch, mesh: Mesh):

@@ -1,0 +1,139 @@
+"""GPipe-style pipeline parallelism over a `pipe` mesh axis.
+
+The reference scales only by data parallelism (PTL DDP / DeepSpeed ZeRO-2,
+reference train.py:99-131); pipeline parallelism is a TPU-native addition
+for models whose layer stack does not fit one chip even under fsdp.
+
+Design (the `ppermute` pipeline from the JAX scaling playbook):
+
+  * The L identical transformer layers are stacked into one pytree with a
+    leading layer axis, reshaped to [P, L/P] and sharded over `pipe` — each
+    device holds one contiguous STAGE of L/P layers.
+  * Inside `shard_map`, every device runs the same tick loop (a single
+    `lax.scan`, so the whole schedule is one compiled program):
+      - stage 0 ingests the next microbatch, other stages take the
+        activation received from their predecessor;
+      - the device applies its stage (an inner `lax.scan` over its layers);
+      - activations rotate one step along the ring via `lax.ppermute`.
+  * After M + P - 1 ticks every microbatch has traversed all stages; the
+    last stage scatters its results into the output buffer, which a final
+    `psum` replicates (all other devices contribute zeros).
+
+The bubble is the standard (P-1)/(M+P-1); choose n_microbatches >= P.
+Everything is differentiable (`ppermute`'s transpose is the reverse
+permutation), so the same executor serves training.
+"""
+
+from __future__ import annotations
+
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.8
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+
+def stack_layer_params(params: dict, depth: int, prefix: str = "layer"):
+    """[{prefix}0..{prefix}{depth-1}] subtrees -> one pytree stacked on a
+    new leading layer axis (all layers share one module structure)."""
+    layers = [params[f"{prefix}{i}"] for i in range(depth)]
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+
+
+def unstack_layer_params(stacked, depth: int, prefix: str = "layer") -> dict:
+    """Inverse of stack_layer_params."""
+    return {
+        f"{prefix}{i}": jax.tree_util.tree_map(lambda a, i=i: a[i], stacked)
+        for i in range(depth)
+    }
+
+
+def shard_stage_params(stacked, mesh: Mesh, axis: str = "pipe"):
+    """Reshape [L, ...] stacked layer params to [P, L/P, ...] and place each
+    stage on its pipeline device."""
+    p = mesh.shape[axis]
+
+    def reshape(a):
+        l = a.shape[0]
+        assert l % p == 0, f"depth {l} not divisible by pipe={p}"
+        return jax.device_put(
+            a.reshape(p, l // p, *a.shape[1:]),
+            NamedSharding(mesh, P(axis)),
+        )
+
+    return jax.tree_util.tree_map(reshape, stacked)
+
+
+def pipeline_apply(
+    block_fn: tp.Callable,
+    stage_params,
+    x: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "pipe",
+    n_microbatches: int = 4,
+):
+    """Run x [B, ...] through the full layer stack with GPipe scheduling.
+
+    block_fn(layer_params, x_mb) -> x_mb applies ONE layer.
+    stage_params: pytree with leading axes [P, L/P, ...] sharded on `axis`
+    (from shard_stage_params). B must be divisible by n_microbatches.
+    """
+    n_stages = mesh.shape[axis]
+    b = x.shape[0]
+    assert b % n_microbatches == 0, f"batch {b} % microbatches {n_microbatches}"
+    xs = x.reshape(n_microbatches, b // n_microbatches, *x.shape[1:])
+
+    def run(stage_p, xs):
+        p = jax.lax.axis_index(axis)
+        stage_p = jax.tree_util.tree_map(lambda a: a[0], stage_p)  # local [L/P, ...]
+        m = xs.shape[0]
+        n_ticks = m + n_stages - 1
+
+        def apply_stage(x_mb):
+            def body(h, layer_p):
+                return block_fn(layer_p, h), None
+            y, _ = jax.lax.scan(body, x_mb, stage_p)
+            return y
+
+        def tick(carry, t):
+            act, out = carry
+            feed = xs[jnp.clip(t, 0, m - 1)]
+            my_in = jnp.where(p == 0, feed, act)
+            y = apply_stage(my_in)
+            idx = jnp.clip(t - (n_stages - 1), 0, m - 1)
+            out_upd = jax.lax.dynamic_update_slice_in_dim(out, y[None], idx, axis=0)
+            write = jnp.logical_and(p == n_stages - 1, t >= n_stages - 1)
+            out = jnp.where(write, out_upd, out)
+            act = jax.lax.ppermute(
+                y, axis, [(i, (i + 1) % n_stages) for i in range(n_stages)])
+            return (act, out), None
+
+        (_, out), _ = jax.lax.scan(
+            tick, (jnp.zeros_like(xs[0]), jnp.zeros_like(xs)), jnp.arange(n_ticks))
+        # only the last stage wrote real values; everyone else holds zeros
+        return jax.lax.psum(out, axis)
+
+    kwargs = dict(mesh=mesh, in_specs=(P(axis), P()), out_specs=P())
+    try:
+        fn = shard_map(run, check_vma=False, **kwargs)
+    except TypeError:  # pragma: no cover - pre-0.8 jax uses check_rep
+        fn = shard_map(run, check_rep=False, **kwargs)
+    out = fn(stage_params, xs)
+    return out.reshape(b, *x.shape[1:])
+
+
+def pipeline_transformer_block_fn(block_module, **apply_kwargs):
+    """Adapter: one ContinuousTransformer TransformerBlock as a pipeline
+    block_fn. Static conditioning (rotary_pos_emb, context, global_cond) is
+    closed over — identical for every layer, exactly as in the sequential
+    stack."""
+
+    def block_fn(layer_params, x):
+        return block_module.apply({"params": layer_params}, x, **apply_kwargs)
+
+    return block_fn

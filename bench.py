@@ -82,7 +82,10 @@ def main():
 
     # transparency: list any non-default perf toggles leaking in from the
     # environment (they change the compiled program and possibly outputs)
-    active = {k: v for k, v in os.environ.items() if k.startswith("FSAT_") and v}
+    from friendly_stable_audio_tools_tpu.utils.trace_flags import TRACE_TIME_ENV_FLAGS
+
+    active = {k: os.environ[k] for k in TRACE_TIME_ENV_FLAGS
+              if os.environ.get(k) == "1"}
     if active:
         print(f"active FSAT flags: {active}", file=sys.stderr)
 

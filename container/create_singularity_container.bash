@@ -1,4 +1,7 @@
-# create a Docker image
+#!/usr/bin/env bash
+set -euo pipefail
+
+# create a Docker image (run from the repo root)
 NAME=friendly-stable-audio-tools-tpu
 docker build -t ${NAME} -f ./container/${NAME}.Dockerfile .
 

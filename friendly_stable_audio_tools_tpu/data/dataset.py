@@ -259,16 +259,23 @@ class DataLoader:
 
     def __len__(self):
         n = len(self.dataset) // self.batch_size
+        if n == 0 and self.drop_last and len(self.dataset) > 0:
+            n = 1  # small-dataset oversampling still yields full batches
         return min(n, self.epoch_steps) if self.epoch_steps else n
 
     def _index_stream(self):
         n = len(self.dataset)
-        if n < self.batch_size:
+        if n == 0:
+            raise ValueError(
+                "DataLoader: dataset is empty (no decodable samples found)")
+        if n < self.batch_size and self.drop_last:
             # A dataset smaller than one batch with drop_last would yield an
             # EMPTY epoch — the infinite epoch loop then spins forever
             # producing nothing and iteration deadlocks. Tiny smoke datasets
             # (example/dataset has 2 files) instead oversample with
             # replacement; random_crop makes repeated files distinct samples.
+            # (drop_last=False loaders keep their deterministic partial-batch
+            # epoch — they never deadlocked.)
             logging.warning(
                 "Dataset has %d samples < batch_size %d: sampling with "
                 "replacement to fill batches.", n, self.batch_size,

@@ -76,19 +76,24 @@ def pipeline_apply(
     mesh: Mesh,
     axis: str = "pipe",
     n_microbatches: int = 4,
+    broadcast_args: tp.Tuple = (),
 ):
     """Run x [B, ...] through the full layer stack with GPipe scheduling.
 
-    block_fn(layer_params, x_mb) -> x_mb applies ONE layer.
+    block_fn(layer_params, x_mb, *broadcast_args) -> x_mb applies ONE layer.
     stage_params: pytree with leading axes [P, L/P, ...] sharded on `axis`
     (from shard_stage_params). B must be divisible by n_microbatches.
+    broadcast_args (e.g. rotary tables, cross-attention context, global
+    conditioning) are passed as real arguments — replicated over the pipe
+    axis, NOT closed over — so per-request conditioning does not bake into
+    the compiled program as constants.
     """
     n_stages = mesh.shape[axis]
     b = x.shape[0]
     assert b % n_microbatches == 0, f"batch {b} % microbatches {n_microbatches}"
     xs = x.reshape(n_microbatches, b // n_microbatches, *x.shape[1:])
 
-    def run(stage_p, xs):
+    def run(stage_p, xs, *bargs):
         p = jax.lax.axis_index(axis)
         stage_p = jax.tree_util.tree_map(lambda a: a[0], stage_p)  # local [L/P, ...]
         m = xs.shape[0]
@@ -96,7 +101,7 @@ def pipeline_apply(
 
         def apply_stage(x_mb):
             def body(h, layer_p):
-                return block_fn(layer_p, h), None
+                return block_fn(layer_p, h, *bargs), None
             y, _ = jax.lax.scan(body, x_mb, stage_p)
             return y
 
@@ -118,22 +123,25 @@ def pipeline_apply(
         # only the last stage wrote real values; everyone else holds zeros
         return jax.lax.psum(out, axis)
 
-    kwargs = dict(mesh=mesh, in_specs=(P(axis), P()), out_specs=P())
+    in_specs = (P(axis), P()) + tuple(P() for _ in broadcast_args)
+    kwargs = dict(mesh=mesh, in_specs=in_specs, out_specs=P())
     try:
         fn = shard_map(run, check_vma=False, **kwargs)
     except TypeError:  # pragma: no cover - pre-0.8 jax uses check_rep
         fn = shard_map(run, check_rep=False, **kwargs)
-    out = fn(stage_params, xs)
+    out = fn(stage_params, xs, *broadcast_args)
     return out.reshape(b, *x.shape[1:])
 
 
-def pipeline_transformer_block_fn(block_module, **apply_kwargs):
+def pipeline_transformer_block_fn(block_module, arg_names: tp.Tuple[str, ...] = ()):
     """Adapter: one ContinuousTransformer TransformerBlock as a pipeline
-    block_fn. Static conditioning (rotary_pos_emb, context, global_cond) is
-    closed over — identical for every layer, exactly as in the sequential
-    stack."""
+    block_fn. `arg_names` names the broadcast_args positions — per-request
+    conditioning (rotary_pos_emb, context, global_cond) flows through
+    pipeline_apply's broadcast_args as real jit arguments so it is never
+    baked into the compiled program as constants."""
 
-    def block_fn(layer_params, x):
-        return block_module.apply({"params": layer_params}, x, **apply_kwargs)
+    def block_fn(layer_params, x, *bargs):
+        kwargs = dict(zip(arg_names, bargs))
+        return block_module.apply({"params": layer_params}, x, **kwargs)
 
     return block_fn

@@ -225,7 +225,7 @@ def probe_train(n=5):
         opt_state = opt.init(params)
         latents = jax.random.normal(jax.random.fold_in(rng, 3), (batch, 1024, 64), jnp.bfloat16)
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, latents, key):
             k_t, k_n = jax.random.split(key)
             t = jax.random.uniform(k_t, (batch,))
@@ -244,11 +244,13 @@ def probe_train(n=5):
             updates, opt_state = opt.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss
 
-        def run(params, opt_state, latents, key):
-            p, o, loss = train_step(params, opt_state, latents, key)
+        state = {"p": params, "o": opt_state}
+
+        def run(latents, key):
+            state["p"], state["o"], loss = train_step(state["p"], state["o"], latents, key)
             return loss
 
-        t = timeit(functools.partial(run, params, opt_state, latents), jax.random.PRNGKey(1), n=n)
+        t = timeit(functools.partial(run, latents), jax.random.PRNGKey(1), n=n)
         emit(probe="train_step", batch=batch, ms=round(t * 1e3, 2),
              samples_per_s=round(batch / t, 2),
              latent_frames_per_s=round(batch * 1024 / t))

@@ -113,13 +113,14 @@ def test_pipeline_transformer_blocks():
                   for l, k in zip(leaves, keys)]
         params[f"layer{i}"] = jax.tree_util.tree_unflatten(treedef, leaves)
 
-    block_fn = pipeline_transformer_block_fn(block, rotary_pos_emb=rot)
+    block_fn = pipeline_transformer_block_fn(block, arg_names=("rotary_pos_emb",))
 
     y_seq = x
     for i in range(depth):
-        y_seq = block_fn(params[f"layer{i}"], y_seq)
+        y_seq = block_fn(params[f"layer{i}"], y_seq, rot)
 
     mesh = create_mesh(4, data=1, pipe=4)
     stage_p = shard_stage_params(stack_layer_params(params, depth), mesh)
-    y_pp = pipeline_apply(block_fn, stage_p, x, mesh, n_microbatches=4)
+    y_pp = pipeline_apply(block_fn, stage_p, x, mesh, n_microbatches=4,
+                          broadcast_args=(rot,))
     np.testing.assert_allclose(np.asarray(y_pp), np.asarray(y_seq), rtol=3e-5, atol=3e-5)

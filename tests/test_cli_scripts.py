@@ -51,7 +51,11 @@ def tiny_vae_config(tmp_path_factory):
     return str(p)
 
 
-def test_generate_cli(tmp_path, tiny_cond_config):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("int8", [False, True])
+def test_generate_cli(tmp_path, tiny_cond_config, int8):
     yaml_path = tmp_path / "conds.yaml"
     yaml_path.write_text(
         "smoke:\n"
@@ -65,7 +69,7 @@ def test_generate_cli(tmp_path, tiny_cond_config):
         "--cond-yaml-path", str(yaml_path),
         "--model-config", tiny_cond_config,
         "--sample-steps", "2", "--batch-size", "2", "--seed", "3",
-    ])
+    ] + (["--int8"] if int8 else []))
     assert r.returncode == 0, r.stderr[-2000:]
     wavs = sorted(out_dir.rglob("*.wav"))
     assert wavs, f"no wavs written; stdout={r.stdout[-800:]}"

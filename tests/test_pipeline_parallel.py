@@ -124,3 +124,38 @@ def test_pipeline_transformer_blocks():
     y_pp = pipeline_apply(block_fn, stage_p, x, mesh, n_microbatches=4,
                           broadcast_args=(rot,))
     np.testing.assert_allclose(np.asarray(y_pp), np.asarray(y_seq), rtol=3e-5, atol=3e-5)
+
+
+def test_pipeline_full_continuous_transformer():
+    """pipeline_continuous_transformer == the module's own forward, with
+    cross-attention context, adaLN global cond, prepend tokens, and
+    project_in/out — the real DiT configuration."""
+    from friendly_stable_audio_tools_tpu.models.transformer import ContinuousTransformer
+    from friendly_stable_audio_tools_tpu.parallel.pp import pipeline_continuous_transformer
+
+    model = ContinuousTransformer(
+        dim=32, depth=4, dim_heads=16, dim_in=8, dim_out=8,
+        cross_attend=True, cond_token_dim=32, global_cond_dim=32,
+    )
+    rng = jax.random.PRNGKey(0)
+    b, seq = 4, 22
+    x = jax.random.normal(rng, (b, seq, 8), jnp.float32)
+    ctx = jax.random.normal(jax.random.fold_in(rng, 1), (b, 6, 32), jnp.float32)
+    g = jax.random.normal(jax.random.fold_in(rng, 2), (b, 32), jnp.float32)
+    pre = jax.random.normal(jax.random.fold_in(rng, 3), (b, 2, 32), jnp.float32)
+    params = model.init(jax.random.fold_in(rng, 4), x, context=ctx,
+                        global_cond=g, prepend_embeds=pre)["params"]
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.fold_in(rng, 5), len(leaves))
+    leaves = [l + 0.05 * jax.random.normal(k, l.shape, l.dtype)
+              for l, k in zip(leaves, keys)]
+    params = jax.tree_util.tree_unflatten(treedef, leaves)
+
+    y_seq = model.apply({"params": params}, x, context=ctx, global_cond=g,
+                        prepend_embeds=pre)
+    mesh = create_mesh(4, data=1, pipe=4)
+    y_pp = pipeline_continuous_transformer(
+        model, params, x, mesh, context=ctx, global_cond=g,
+        prepend_embeds=pre, n_microbatches=4)
+    np.testing.assert_allclose(np.asarray(y_pp), np.asarray(y_seq),
+                               rtol=3e-5, atol=3e-5)

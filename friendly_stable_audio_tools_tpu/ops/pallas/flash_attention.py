@@ -17,8 +17,11 @@ Design (measured on v5e):
   * backward pass: FlashAttention-2-style custom Pallas kernels — the
     forward saves per-row softmax stats (m, l); backward runs two passes,
     dq over q blocks and dk/dv over k blocks, each recomputing its P tile
-    in VMEM (no [T, T] materialization in HBM). CPU falls back to the XLA
-    vjp.
+    in VMEM (no [T, T] materialization in HBM). The non-gridded sequence
+    operands (whole K/V for dq, whole Q/dO + stats for dk/dv) live in VMEM,
+    which caps the trainable sequence length at roughly 24-32k tokens at
+    head_dim 64 — 4-5x the longest model in this family (SA-2.0, 6144+2).
+    CPU falls back to the XLA vjp.
 
 Perf note: at head_dim 64 the score/PV dots use half the MXU's 128-wide
 contraction, capping attention at ~0.5x GEMM peak regardless of scheduling;
@@ -156,15 +159,33 @@ def _online_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int, causal:
 STAT_LANES = 128  # lse stored broadcast over one lane tile (layout-friendly)
 
 
-def _pick_block_q(t_q: int, block_q: int, single_dot: bool) -> int:
+# VMEM working-set budget for the single-dot score tile: the fp32 scores
+# (bq x t_kp) plus their bf16 probability copy plus resident K/V and q/o
+# tiles must fit scoped VMEM (16 MB) with headroom for double buffering.
+_SINGLE_DOT_VMEM_BUDGET = 12 * 2**20
+
+
+def _single_dot_fits(bq: int, t_kp: int, d: int) -> bool:
+    scores = bq * t_kp * 4        # fp32 score tile
+    probs = bq * t_kp * 2         # bf16 p copy for the PV dot
+    kv = 2 * t_kp * d * 2         # resident K and V
+    qo = 2 * bq * d * 4           # q tile + fp32 acc
+    return scores + probs + kv + qo <= _SINGLE_DOT_VMEM_BUDGET
+
+
+def _pick_block_q(t_q: int, block_q: int, single_dot: bool, t_kp: int, d: int) -> int:
     """Pick the q block minimizing pad waste (the DiT's prepend tokens make
     t_q = latent_len + 2, never 128-aligned; a fixed 256 block pads 1026 ->
-    1280 = +25% attention FLOPs)."""
+    1280 = +25% attention FLOPs), subject to the single-dot VMEM budget:
+    at 512-multiple lengths near SINGLE_DOT_MAX_TK an unconstrained 512
+    block's score tile alone exceeds scoped VMEM (512*8192*4 = 16.8 MB)."""
     if t_q <= 128:
         return (t_q + 7) // 8 * 8
     if not single_dot:
         return block_q
-    cands = (512, 384, 256, 128)
+    cands = [b for b in (512, 384, 256, 128) if _single_dot_fits(b, t_kp, d)]
+    if not cands:
+        cands = [128]
     return min(cands, key=lambda b: ((-t_q) % b, -b))
 
 
@@ -178,11 +199,14 @@ def _flash_forward(q, k, v, causal: bool, block_q: int, block_k: int,
     scale = 1.0 / math.sqrt(d)
 
     single_dot = (not causal) and t_k <= SINGLE_DOT_MAX_TK
-    block_q = _pick_block_q(t_q, block_q, single_dot)
+    t_kp_est = (t_k + 127) // 128 * 128 if single_dot else (t_k + block_k - 1) // block_k * block_k
+    block_q = _pick_block_q(t_q, block_q, single_dot, t_kp_est, d)
     if single_dot and t_q <= 2048 and t_k <= 1536 and t_q > 128:
         # one program per (batch*head) when the score tile fits VMEM: fewer
         # per-program fixed costs, and the fused-rope variant ropes K once
-        block_q = (t_q + 127) // 128 * 128
+        whole = (t_q + 127) // 128 * 128
+        if _single_dot_fits(whole, t_kp_est, d):
+            block_q = whole
 
     # pad to block multiples
     pq = (block_q - t_q % block_q) % block_q
@@ -255,6 +279,11 @@ def _flash_forward(q, k, v, causal: bool, block_q: int, block_k: int,
 
 
 def _xla_reference(q, k, v, causal):
+    """Kernel-local 3D XLA attention for CPU fallback and parity tests.
+
+    Deliberately NOT ops/attention.py's _xla_attention (importing it here
+    would be a cycle: that module imports this one); kept minimal — no
+    mask/kv_len handling — so there is little surface to drift."""
     scale = 1.0 / math.sqrt(q.shape[-1])
     logits = jnp.einsum("bid,bjd->bij", q.astype(jnp.float32), k.astype(jnp.float32)) * scale
     if causal:
@@ -272,16 +301,18 @@ def _xla_reference(q, k, v, causal):
 BWD_CHUNK = 512  # inner fori chunk over the non-gridded sequence axis
 
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, dq_ref, *,
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, stats_ref, dq_ref, *,
                    scale: float, kv_len: int, causal: bool, block_q: int):
+    """stats lanes: 0 = lse, 1 = D (rowsum(dO*O), precomputed once in XLA —
+    FA2's D vector; recomputing it per kernel would stream the whole O
+    tensor into every program)."""
     t_kp, d = k_ref.shape
     bq = q_ref.shape[0]
     qi = pl.program_id(1)
     q = q_ref[:]
     do = do_ref[:]
-    # D_i = rowsum(dO * O) (fp32)
-    dcap = jnp.sum(do.astype(jnp.float32) * o_ref[:].astype(jnp.float32), axis=1, keepdims=True)
-    lse = lse_ref[:, :1]
+    lse = stats_ref[:, :1]
+    dcap = stats_ref[:, 1:2]
     n_chunks = t_kp // BWD_CHUNK
 
     def body(j, acc):
@@ -302,11 +333,16 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, dq_ref, *,
         return acc + jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
                                          preferred_element_type=jnp.float32)
 
-    acc = jax.lax.fori_loop(0, n_chunks, body, jnp.zeros((bq, d), jnp.float32))
+    if causal:
+        # q block qi sees only k chunks overlapping [0, qi*block_q + bq)
+        n_active = jnp.minimum((qi * block_q + bq + BWD_CHUNK - 1) // BWD_CHUNK, n_chunks)
+        acc = jax.lax.fori_loop(0, n_active, body, jnp.zeros((bq, d), jnp.float32))
+    else:
+        acc = jax.lax.fori_loop(0, n_chunks, body, jnp.zeros((bq, d), jnp.float32))
     dq_ref[:] = acc.astype(dq_ref.dtype)
 
 
-def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, dk_ref, dv_ref, *,
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, stats_ref, dk_ref, dv_ref, *,
                          scale: float, kv_len: int, total_k: int, causal: bool,
                          block_k: int):
     t_qp, d = q_ref.shape
@@ -320,8 +356,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, dk_ref, dv_ref,
         dk, dv = carry
         q = q_ref[pl.ds(i * BWD_CHUNK, BWD_CHUNK), :]
         do = do_ref[pl.ds(i * BWD_CHUNK, BWD_CHUNK), :]
-        o = o_ref[pl.ds(i * BWD_CHUNK, BWD_CHUNK), :]
-        lse = lse_ref[pl.ds(i * BWD_CHUNK, BWD_CHUNK), :1]
+        lse = stats_ref[pl.ds(i * BWD_CHUNK, BWD_CHUNK), :1]
+        dcap = stats_ref[pl.ds(i * BWD_CHUNK, BWD_CHUNK), 1:2]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (BWD_CHUNK, bk), 1)
@@ -334,7 +370,6 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, dk_ref, dv_ref,
         pb = p.astype(do.dtype)
         dv = dv + jax.lax.dot_general(pb, do, (((0,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
-        dcap = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=1, keepdims=True)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = (p * (dp - dcap) * scale).astype(q.dtype)
@@ -343,7 +378,13 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, dk_ref, dv_ref,
         return dk, dv
 
     z = jnp.zeros((bk, d), jnp.float32)
-    dk, dv = jax.lax.fori_loop(0, n_chunks, body, (z, z))
+    if causal:
+        # k block ki only receives gradient from q chunks at positions >= its
+        # first k position
+        start = (ki * block_k) // BWD_CHUNK
+        dk, dv = jax.lax.fori_loop(start, n_chunks, body, (z, z))
+    else:
+        dk, dv = jax.lax.fori_loop(0, n_chunks, body, (z, z))
     dk_ref[:] = dk.astype(dk_ref.dtype)
     dv_ref[:] = dv.astype(dv_ref.dtype)
 
@@ -375,6 +416,14 @@ def _flash_backward(q, k, v, out, lse, g, causal, block_q, block_k, kv_len=None)
     lsep = jnp.pad(lse[:, :t_q], ((0, 0), (0, pq), (0, 0)))
     t_qp, t_kp = qp.shape[1], kp.shape[1]
 
+    # FA2's D = rowsum(dO * O), computed ONCE here and packed into lane 1 of
+    # the stats buffer (lane 0 = lse). This removes the O tensor from both
+    # kernels' inputs — the dkv kernel previously streamed the entire O into
+    # every k-block program just to recompute D per chunk.
+    delta = jnp.sum(dop.astype(jnp.float32) * op.astype(jnp.float32), axis=2, keepdims=True)
+    stats = jnp.concatenate([lsep[:, :, :1], delta], axis=2)
+    stats = jnp.pad(stats, ((0, 0), (0, 0), (0, STAT_LANES - 2)))
+
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, kv_len=true_k, causal=causal,
                           block_q=block_q),
@@ -385,12 +434,11 @@ def _flash_backward(q, k, v, out, lse, g, causal, block_q, block_k, kv_len=None)
             pl.BlockSpec((None, t_kp, d), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((None, t_kp, d), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0)),
             pl.BlockSpec((None, block_q, STAT_LANES), lambda b, i: (b, i, 0)),
         ],
         out_specs=pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, t_qp, d), q.dtype),
-    )(qp, kp, vp, dop, op, lsep)
+    )(qp, kp, vp, dop, stats)
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=scale, kv_len=true_k, total_k=t_kp,
@@ -402,7 +450,6 @@ def _flash_backward(q, k, v, out, lse, g, causal, block_q, block_k, kv_len=None)
             pl.BlockSpec((None, block_k, d), lambda b, j: (b, j, 0)),
             pl.BlockSpec((None, block_k, d), lambda b, j: (b, j, 0)),
             pl.BlockSpec((None, t_qp, d), lambda b, j: (b, 0, 0)),
-            pl.BlockSpec((None, t_qp, d), lambda b, j: (b, 0, 0)),
             pl.BlockSpec((None, t_qp, STAT_LANES), lambda b, j: (b, 0, 0)),
         ],
         out_specs=[
@@ -413,7 +460,7 @@ def _flash_backward(q, k, v, out, lse, g, causal, block_q, block_k, kv_len=None)
             jax.ShapeDtypeStruct((bh, t_kp, d), q.dtype),
             jax.ShapeDtypeStruct((bh, t_kp, d), q.dtype),
         ],
-    )(qp, kp, vp, dop, op, lsep)
+    )(qp, kp, vp, dop, stats)
 
     return dq[:, :t_q], dk[:, :t_k], dv[:, :t_k]
 
@@ -546,6 +593,10 @@ def _flash_rope_bwd(causal, block_q, block_k, res, g):
         dx = dy32 * cos + (dy32 * sin) @ pt
         return dx.astype(dy.dtype)
 
+    # freqs cotangent is DEFINED as zero: rotary tables here are always
+    # non-trainable position tables (rotary_freqs); if rotary angles ever
+    # become learned parameters, this custom_vjp must compute the true
+    # d(out)/d(freqs) through cos/sin instead.
     return unrope(dqr), unrope(dkr), dv, jnp.zeros_like(freqs)
 
 
@@ -577,11 +628,9 @@ def fused_qkv_rope_attention(qkv, freqs, num_heads: int,
         out = _xla_reference(
             q.reshape(b * num_heads, t, d), k.reshape(b * num_heads, t, d),
             v.reshape(b * num_heads, t, d), False).reshape(b, num_heads, t, d)
-    elif t > SINGLE_DOT_MAX_TK:
-        # long sequences: rope outside + the online-softmax flash kernel
-        # (never the O(T^2)-materializing XLA reference on device)
-        out = flash_attention(_rope_outside(q, freqs), _rope_outside(k, freqs), v)
     else:
+        # flash_attention handles long sequences itself (t > 2048: rope
+        # outside + the online-softmax kernel) — no separate branch needed
         out = flash_attention(q, k, v, freqs=freqs, block_q=block_q)
     return out.transpose(0, 2, 1, 3).reshape(b, t, num_heads * d)
 

@@ -263,3 +263,52 @@ def test_flash_attention_kv_len_prepadded():
     gr = jax.grad(loss_plain)(q)
     np.testing.assert_allclose(np.asarray(gp[:, :, :t]), np.asarray(gr), atol=5e-3)
     np.testing.assert_allclose(np.asarray(gp[:, :, t:]), 0.0, atol=1e-6)
+
+
+def test_flash_attention_causal_bwd_multichunk():
+    """Causal backward across multiple BWD_CHUNKs: the chunk-skipping bounds
+    (dq: n_active k chunks; dkv: start q chunk) must not drop contributions
+    at chunk boundaries. L=1100 spans 3 chunks of 512."""
+    from friendly_stable_audio_tools_tpu.ops.pallas.flash_attention import (
+        flash_attention, _xla_reference,
+    )
+
+    rng = np.random.RandomState(11)
+    B, H, L, D = 1, 1, 1100, 64
+    q = jnp.asarray(rng.randn(B, H, L, D), jnp.float32) * 0.3
+    k = jnp.asarray(rng.randn(B, H, L, D), jnp.float32) * 0.3
+    v = jnp.asarray(rng.randn(B, H, L, D), jnp.float32) * 0.3
+    g = jnp.asarray(rng.randn(B, H, L, D), jnp.float32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=True) * g)
+
+    def loss_ref(q, k, v):
+        o = _xla_reference(q.reshape(B * H, L, D), k.reshape(B * H, L, D),
+                           v.reshape(B * H, L, D), True)
+        return jnp.sum(o.reshape(B, H, L, D) * g)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=6e-3,
+                                   err_msg=f"d{name}")
+
+
+def test_single_dot_block_picker_respects_vmem_budget():
+    """At 512-multiple lengths near SINGLE_DOT_MAX_TK an unconstrained 512
+    q-block's fp32 score tile alone exceeds scoped VMEM; the picker must
+    degrade the block size instead of crashing Mosaic on the real chip."""
+    from friendly_stable_audio_tools_tpu.ops.pallas.flash_attention import (
+        _SINGLE_DOT_VMEM_BUDGET, _pick_block_q, _single_dot_fits,
+    )
+
+    # SAO hot shape: zero-waste 512 block fits comfortably at t_k ~1k
+    assert _pick_block_q(1026, 256, True, 1152, 64) in (128, 256, 384, 512)
+    # t = 8192 (the documented single-dot boundary): 512 must NOT be picked
+    b = _pick_block_q(8192, 256, True, 8192, 64)
+    assert _single_dot_fits(b, 8192, 64), b
+    assert b * 8192 * 6 <= _SINGLE_DOT_VMEM_BUDGET
+    # 6144 (long-form latents, 512-multiple): picked block must fit too
+    b = _pick_block_q(6144, 256, True, 6144, 64)
+    assert _single_dot_fits(b, 6144, 64), b

@@ -248,7 +248,10 @@ def generate_diffusion_cond(
     common.update(negative_inputs)
 
     if model.diffusion_objective == "rectified_flow":
-        for k_ in ("sigma_min", "sampler_type", "rho", "sigma_max"):
+        # reference deletes only sigma_min/sampler_type (generation.py:236-239)
+        # — sigma_max MUST survive: it carries init_noise_level for variation
+        # mode (sample_rf starts at x = init*(1-s) + noise*s with s=sigma_max)
+        for k_ in ("sigma_min", "sampler_type", "rho"):
             sampler_kwargs.pop(k_, None)
 
     skey = _static_sampler_key(sampler_kwargs)

@@ -120,20 +120,20 @@ def make_step_emitter(verbose: bool = False, callback=None,
 
     import time as _time
 
-    state = {"i": 0, "t0": None, "last_sigma": None}
+    state = {"i": 0, "t0": None, "max_sigma": None}
 
     def on_step(sigma, x, denoised):
-        # Sigma is non-increasing within one sampling run for every sampler
-        # (multi-eval samplers like heun/dpm-2 evaluate at intermediate but
-        # still-decreasing sigmas), so a sigma INCREASE marks the start of a
-        # new run of the same cached jitted program: reset the counter there.
-        # Counting evals (NFEs) rather than steps keeps i strictly monotonic
-        # for multi-eval samplers instead of wrapping mid-run.
+        # Every run STARTS at its largest sigma and no later eval reaches it
+        # again (multi-eval samplers evaluate at intermediate, smaller
+        # sigmas; the adaptive solver's eval sigmas are non-monotonic but
+        # bounded by sigma_max) — so an eval AT the max sigma seen marks a
+        # new run of the same cached jitted program: reset the counter.
+        # Counting evals (NFEs) keeps i strictly monotonic within a run.
         sig = float(np.asarray(sigma))
-        if state["last_sigma"] is not None and sig > state["last_sigma"]:
+        if state["max_sigma"] is not None and sig >= state["max_sigma"]:
             state["i"] = 0
             state["t0"] = None
-        state["last_sigma"] = sig
+        state["max_sigma"] = sig if state["max_sigma"] is None else max(state["max_sigma"], sig)
         i = state["i"]
         state["i"] += 1
         if callback is not None:
@@ -143,8 +143,8 @@ def make_step_emitter(verbose: bool = False, callback=None,
             now = _time.perf_counter()
             if state["t0"] is not None:
                 ips = 10.0 / max(now - state["t0"], 1e-9)
-                total = f"/{total_steps}" if total_steps else ""
-                print(f"sampling step {i}{total}: {ips:.2f} iters/sec")
+                total = f" (target {total_steps} steps)" if total_steps else ""
+                print(f"sampling eval {i}{total}: {ips:.2f} iters/sec")
             state["t0"] = now
 
     def emit(x, sigma, denoised):
@@ -216,13 +216,6 @@ def _to_d(x, sigma, denoised):
     return (x - denoised) / sigma
 
 
-def _scan_sampler(body, init_carry, steps, rng):
-    keys = jax.random.split(rng, steps)
-    xs = (jnp.arange(steps), keys)
-    carry, _ = jax.lax.scan(body, init_carry, xs)
-    return carry
-
-
 def sample_euler(denoiser, x, sigmas, rng, merge=None):
     sigmas = jnp.asarray(sigmas, jnp.float32)
     steps = len(sigmas) - 1
@@ -231,9 +224,11 @@ def sample_euler(denoiser, x, sigmas, rng, merge=None):
         i, key = ix
         sigma, sigma_next = sigmas[i], sigmas[i + 1]
         denoised = denoiser(x, sigma)
+        # k-diffusion order: d from the PRE-merge x (the inpaint callback
+        # mutates x after to_d), the integrator update from the merged x
+        d = _to_d(x, sigma, denoised)
         if merge is not None:
             x = merge(x, i, sigma, key)
-        d = _to_d(x, sigma, denoised)
         x = x + d * (sigma_next - sigma)
         return x, None
 
@@ -250,13 +245,13 @@ def sample_heun(denoiser, x, sigmas, rng, merge=None):
         i, key = ix
         sigma, sigma_next = sigmas[i], sigmas[i + 1]
         denoised = denoiser(x, sigma)
+        d = _to_d(x, sigma, denoised)  # pre-merge x, like k-diffusion
         if merge is not None:
             x = merge(x, i, sigma, key)
-        d = _to_d(x, sigma, denoised)
         dt = sigma_next - sigma
         x_euler = x + d * dt
         # second order correction unless sigma_next == 0
-        x_2 = x + d * dt
+        x_2 = x_euler
         sigma_next_safe = jnp.maximum(sigma_next, 1e-12)
         denoised_2 = denoiser(x_2, sigma_next_safe)
         d_2 = (x_2 - denoised_2) / sigma_next_safe
@@ -278,9 +273,9 @@ def sample_dpm_2(denoiser, x, sigmas, rng, merge=None):
         i, key = ix
         sigma, sigma_next = sigmas[i], sigmas[i + 1]
         denoised = denoiser(x, sigma)
+        d = _to_d(x, sigma, denoised)  # pre-merge x, like k-diffusion
         if merge is not None:
             x = merge(x, i, sigma, key)
-        d = _to_d(x, sigma, denoised)
         x_euler = x + d * (sigma_next - sigma)
         sigma_next_safe = jnp.maximum(sigma_next, 1e-12)
         sigma_mid = jnp.exp(jnp.log(sigma) * 0.5 + jnp.log(sigma_next_safe) * 0.5)
@@ -370,9 +365,9 @@ def sample_lms(denoiser, x, sigmas, rng, merge=None, order: int = 4):
         i, key = ix
         sigma = sigmas[i]
         denoised = denoiser(x, sigma)
+        d = _to_d(x, sigma, denoised)  # pre-merge x, like k-diffusion
         if merge is not None:
             x = merge(x, i, sigma, key)
-        d = _to_d(x, sigma, denoised)
         ds = jnp.concatenate([d[None], ds[:-1]], axis=0)
         x = x + jnp.einsum("j,j...->...", coeffs_j[i], ds)
         return (x, ds), None
@@ -491,21 +486,23 @@ def _dpm_solver_steps(denoiser):
         h = t_next - t
         return x - sigma(t_next) * jnp.expm1(h) * eps
 
-    def step2(x, t, t_next, eps, r1=0.5):
+    def step2(x, t, t_next, eps, r1=0.5, eps_r1=None):
         h = t_next - t
         s1 = t + r1 * h
-        u1 = x - sigma(s1) * jnp.expm1(r1 * h) * eps
-        eps_r1 = eps_at(u1, s1)
+        if eps_r1 is None:
+            u1 = x - sigma(s1) * jnp.expm1(r1 * h) * eps
+            eps_r1 = eps_at(u1, s1)
         x2 = x - sigma(t_next) * jnp.expm1(h) * eps \
             - sigma(t_next) / (2 * r1) * jnp.expm1(h) * (eps_r1 - eps)
         return x2
 
-    def step3(x, t, t_next, eps, r1=1 / 3, r2=2 / 3):
+    def step3(x, t, t_next, eps, r1=1 / 3, r2=2 / 3, eps_r1=None):
         h = t_next - t
         s1 = t + r1 * h
         s2 = t + r2 * h
-        u1 = x - sigma(s1) * jnp.expm1(r1 * h) * eps
-        eps_r1 = eps_at(u1, s1)
+        if eps_r1 is None:
+            u1 = x - sigma(s1) * jnp.expm1(r1 * h) * eps
+            eps_r1 = eps_at(u1, s1)
         u2 = x - sigma(s2) * jnp.expm1(r2 * h) * eps \
             - sigma(s2) * (r2 / r1) * (jnp.expm1(r2 * h) / (r2 * h) - 1) * (eps_r1 - eps)
         eps_r2 = eps_at(u2, s2)
@@ -532,20 +529,28 @@ def sample_dpm_fast(denoiser, x, rng, sigma_min: float, sigma_max: float, n: int
         orders = [3] * (m - 1) + [n % 3]
 
     x = x.astype(jnp.float32)
+    keys = jax.random.split(rng, m)
     # scan over the uniform order-3 prefix, unroll the short tail
     n3 = sum(1 for o in orders if o == 3)
     if n3 > 0:
         t3 = jnp.asarray(np.stack([ts[:n3], ts[1 : n3 + 1]], 1), jnp.float32)
 
-        def body(x, t_pair):
+        def body(x, ix):
+            t_pair, i, key = ix
             t, t_next = t_pair[0], t_pair[1]
             eps = eps_at(x, t)
+            if merge is not None:
+                # reference: the inpaint callback mutates x after the eps
+                # eval, before the solver step (k-diffusion info_callback)
+                x = merge(x, i, sigma_fn(t), key)
             return step3(x, t, t_next, eps), None
 
-        x, _ = jax.lax.scan(body, x, t3)
+        x, _ = jax.lax.scan(body, x, (t3, jnp.arange(n3), keys[:n3]))
     for i in range(n3, m):
         t, t_next = float(ts[i]), float(ts[i + 1])
         eps = eps_at(x, jnp.asarray(t))
+        if merge is not None:
+            x = merge(x, jnp.asarray(i), sigma_fn(jnp.asarray(t)), keys[i])
         if orders[i] == 1:
             x = step1(x, jnp.asarray(t), jnp.asarray(t_next), eps)
         elif orders[i] == 2:
@@ -561,8 +566,15 @@ def sample_dpm_adaptive(denoiser, x, rng, sigma_min: float, sigma_max: float,
                         pcoeff: float = 0.0, icoeff: float = 1.0, dcoeff: float = 0.0,
                         accept_safety: float = 0.81, max_steps: int = 200, merge=None):
     """k-diffusion sample_dpm_adaptive: embedded DPM-Solver-(2,3) with a PID
-    step-size controller, as a lax.while_loop."""
+    step-size controller, as a lax.while_loop.
+
+    Like k-diffusion, integration stops after max_steps iterations even if
+    t_end was not reached (a static bound is required for the compiled
+    while_loop); with pathologically tight tolerances the result is then
+    under-integrated — raise max_steps or loosen rtol/atol."""
     import math as _math
+
+    merge_rng = rng
 
     sigma_fn, eps_at, step1, step2, step3 = _dpm_solver_steps(denoiser)
     t_start = -_math.log(sigma_max)
@@ -585,8 +597,15 @@ def sample_dpm_adaptive(denoiser, x, rng, sigma_min: float, sigma_max: float,
         x, x_prev, s, h, e1, e2, e3, steps = carry
         t = jnp.minimum(t_end, s + h)
         eps = eps_at(x, s)
-        x_low = step2(x, s, t, eps)
-        x_high = step3(x, s, t, eps)
+        # k-diffusion's embedded (2,3) pair: the low-order solution uses
+        # r1=1/3 so its midpoint eval is SHARED with the order-3 solution
+        # (3 NFE per iteration, not 4)
+        h_cur = t - s
+        s1 = s + h_cur / 3.0
+        u1 = x - sigma_fn(s1) * jnp.expm1(h_cur / 3.0) * eps
+        eps_r1 = eps_at(u1, s1)
+        x_low = step2(x, s, t, eps, r1=1.0 / 3.0, eps_r1=eps_r1)
+        x_high = step3(x, s, t, eps, eps_r1=eps_r1)
         delta = jnp.maximum(atol, rtol * jnp.maximum(jnp.abs(x_low), jnp.abs(x_prev)))
         error = norm((x_low - x_high) / delta)
         inv_err = 1.0 / (1e-8 + error)
@@ -597,7 +616,11 @@ def sample_dpm_adaptive(denoiser, x, rng, sigma_min: float, sigma_max: float,
         factor = inv_err**b1 * h1**b2 * h2**b3
         factor = 1 + jnp.arctan(factor - 1)  # the controller's soft limiter
         accept = factor >= accept_safety
-        new_x = jnp.where(accept, x_high, x)
+        x_acc = x_high
+        if merge is not None:
+            # reference applies the inpaint callback after each ACCEPTED step
+            x_acc = merge(x_high, steps, sigma_fn(t), jax.random.fold_in(merge_rng, steps))
+        new_x = jnp.where(accept, x_acc, x)
         new_x_prev = jnp.where(accept, x_low, x_prev)
         new_s = jnp.where(accept, t, s)
         # error history rotates only on accept
@@ -674,9 +697,10 @@ def sample_k(
 
     if sampler_type == "k-dpm-fast":
         # the reference passes (sigma_min, sigma_max, n) rather than a grid
-        return sample_dpm_fast(denoiser, x, rng, sigma_min, sigma_max, steps)
+        return sample_dpm_fast(denoiser, x, rng, sigma_min, sigma_max, steps, merge=merge)
     if sampler_type == "k-dpm-adaptive":
-        return sample_dpm_adaptive(denoiser, x, rng, sigma_min, sigma_max, rtol=0.01, atol=0.01)
+        return sample_dpm_adaptive(denoiser, x, rng, sigma_min, sigma_max,
+                                   rtol=0.01, atol=0.01, merge=merge)
 
     return _K_SAMPLERS[sampler_type](denoiser, x, sigmas, rng, merge=merge)
 

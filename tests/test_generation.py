@@ -189,3 +189,64 @@ def test_generate_diffusion_uncond():
     )
     assert audio.shape == (2, 2, 256)
     assert np.isfinite(np.asarray(audio)).all()
+
+
+def test_rf_variation_honors_init_noise_level():
+    """Rectified-flow variation mode: sigma_max (= init_noise_level) must
+    reach sample_rf (regression: generation popped it, so init audio was
+    silently ignored). Unit level: with a zero-velocity model the output is
+    exactly init*(1-s) + noise*s."""
+    from friendly_stable_audio_tools_tpu.inference.sampling import sample_rf
+
+    def zero_v(x, t, **kw):
+        return jnp.zeros_like(x)
+
+    noise = jnp.asarray(np.random.default_rng(0).standard_normal((1, 16, 4)), jnp.float32)
+    init = jnp.asarray(np.random.default_rng(1).standard_normal((1, 16, 4)), jnp.float32)
+    out = sample_rf(zero_v, noise, init_data=init, steps=3, sigma_max=0.25,
+                    rng=jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(init * 0.75 + noise * 0.25),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_rf_generation_variation_differs_from_scratch(cond_model):
+    """End-to-end: a rectified-flow model with init audio at low noise must
+    NOT produce the same audio as from-scratch generation."""
+    import copy
+
+    cfg = copy.deepcopy(TINY_COND_CONFIG)
+    cfg["model"]["diffusion"]["diffusion_objective"] = "rectified_flow"
+    model = create_model_from_config(cfg, init_rng=jax.random.PRNGKey(0))
+
+    init = np.random.default_rng(2).standard_normal((2, 1024)).astype(np.float32) * 0.1
+    kw = dict(steps=3, cfg_scale=2.0, conditioning=CONDITIONING[:1], sample_size=1024, seed=11)
+    a_scratch = np.asarray(generate_diffusion_cond(model, **kw), np.float32)
+    a_var = np.asarray(generate_diffusion_cond(
+        model, init_audio=(16000, init), init_noise_level=0.2, **kw), np.float32)
+    assert np.isfinite(a_var).all()
+    assert np.abs(a_scratch - a_var).max() > 1e-5, \
+        "init audio ignored: variation output identical to from-scratch"
+
+
+@pytest.mark.parametrize("sampler", ["k-dpm-fast", "k-dpm-adaptive"])
+def test_inpaint_merge_applies_in_dpm_fast_adaptive(sampler):
+    """The inpaint mask must affect dpm-fast/adaptive outputs (regression:
+    merge was built but never passed to these samplers)."""
+    from friendly_stable_audio_tools_tpu.inference.sampling import sample_k
+
+    def toy(x, t, **kw):
+        return -0.05 * x
+
+    rng = np.random.default_rng(3)
+    noise = jnp.asarray(rng.standard_normal((1, 16, 4)), jnp.float32)
+    init = jnp.asarray(rng.standard_normal((1, 16, 4)), jnp.float32)
+    mask = jnp.zeros((1, 16, 4), jnp.float32)  # 0 <= strength: re-anchor everywhere
+
+    out_plain = sample_k(toy, noise, steps=6, sampler_type=sampler,
+                         sigma_min=0.3, sigma_max=10.0, rng=jax.random.PRNGKey(0))
+    out_masked = sample_k(toy, noise, init_data=init, mask=mask, steps=6,
+                          sampler_type=sampler, sigma_min=0.3, sigma_max=10.0,
+                          rng=jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(out_masked)).all()
+    d = float(jnp.abs(out_plain - out_masked).max())
+    assert d > 1e-4, f"mask had no effect on {sampler} (diff {d})"

@@ -161,7 +161,12 @@ class AudioLanguageModelWrapper:
         prepend_cond_mask = ci["prepend_cond_mask"]
         global_cond = ci["global_cond"]
 
-        if cfg_dropout_prob > 0.0 and rng is not None:
+        if cfg_dropout_prob > 0.0 and rng is None:
+            raise ValueError(
+                "cfg_dropout_prob > 0 requires an rng key — silently skipping "
+                "CFG dropout would train a model whose CFG-scaled generation "
+                "quality quietly degrades")
+        if cfg_dropout_prob > 0.0:
             def drop(arr, key, g=False):
                 if arr is None:
                     return None
@@ -223,23 +228,27 @@ class AudioLanguageModelWrapper:
         params=None,
         **kwargs,
     ):
-        """Autoregressive generation as one jitted scan (reference lm.py:351-462)."""
+        """Autoregressive generation as one jitted scan (reference lm.py:351-462).
+
+        `callback(step, total_steps)` fires per generated token (host-side,
+        reference lm.py:447-450) on backends with host callbacks."""
+        if not use_cache:
+            raise NotImplementedError(
+                "use_cache=False (recompute full attention per token) is not "
+                "implemented: the scan decode always uses static KV caches")
         params = params if params is not None else self.params
         rng = rng if rng is not None else jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
 
         if conditioning_tensors is None and conditioning is not None:
             conditioning_tensors = self.conditioner(conditioning)
 
-        sizes = []
-        if batch_size is not None:
-            sizes.append(batch_size)
-        elif init_data is not None:
-            sizes.append(init_data.shape[0])
-        elif conditioning_tensors is not None:
-            sizes.append(conditioning_tensors[list(conditioning_tensors)[0]][0].shape[0])
-        else:
-            sizes.append(1)
-        batch_size = sizes[0]
+        if batch_size is None:
+            if init_data is not None:
+                batch_size = init_data.shape[0]
+            elif conditioning_tensors is not None:
+                batch_size = conditioning_tensors[list(conditioning_tensors)[0]][0].shape[0]
+            else:
+                batch_size = 1
 
         K = self.num_quantizers
         if init_data is None:
@@ -295,9 +304,23 @@ class AudioLanguageModelWrapper:
                 cross_attn_cond=cross_attn_cond, global_cond=global_cond,
                 method="decode_step",
             )
+            # carry only the LAST position's logits: the prefill emits
+            # [B, K, start_offset_sequence, card] but each scan step emits
+            # [B, K, 1, card] — mismatched carries crash lax.scan for any
+            # prompt continuation (init_data non-empty)
+            logits = logits[:, :, -1:, :]
+
+            from ..inference.sampling import host_callbacks_supported
+
+            emit_cb = callback if (callback is not None and host_callbacks_supported()) else None
+            total_gen = S - start_offset_sequence
 
             def body(carry, offset):
                 gen_sequence, caches, logits, rng = carry
+                if emit_cb is not None:
+                    jax.debug.callback(
+                        lambda off: emit_cb(int(off) + 1 - start_offset_sequence, total_gen),
+                        offset, ordered=True)
                 rng, k_sample = jax.random.split(rng)
                 next_token = self._sample_token(
                     logits[:, :, -1:, :], k_sample, top_k=top_k, top_p=top_p,
@@ -324,7 +347,8 @@ class AudioLanguageModelWrapper:
         # (a fresh closure per call would bake conds as constants and retrace
         # every generate() invocation)
         gen_key = (S, start_offset_sequence, eff_batch, prepend_len, use_cfg,
-                   float(cfg_scale), int(top_k), float(top_p), float(temp))
+                   float(cfg_scale), int(top_k), float(top_p), float(temp),
+                   id(callback) if callback is not None else None)
         if not hasattr(self, "_gen_jits"):
             self._gen_jits = {}
         from ..utils.trace_flags import trace_env_key
@@ -341,10 +365,10 @@ class AudioLanguageModelWrapper:
         return jnp.asarray(out_codes)
 
     def generate_audio(self, params=None, **kwargs):
-        """reference lm.py:464-476."""
+        """reference lm.py:464-476. Codes flow to the pretransform in the
+        uniform [B, K, T] layout (DAC / audiocraft / autoencoder alike)."""
         codes = self.generate(params=params, **kwargs)
-        # pretransform.decode_tokens expects [B, T, K] token layout internally
-        return self.pretransform.decode_tokens(codes.transpose(0, 2, 1))
+        return self.pretransform.decode_tokens(codes)
 
 
 def create_audio_lm_from_config(config: dict) -> AudioLanguageModelWrapper:

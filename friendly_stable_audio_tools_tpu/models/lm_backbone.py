@@ -95,6 +95,9 @@ class ContinuousTransformerAudioLMBackbone(nn.Module):
             {
                 "k": jnp.zeros((batch, kv_heads, total, self.model.dim_heads), dtype),
                 "v": jnp.zeros((batch, kv_heads, total, self.model.dim_heads), dtype),
+                # per-key validity: prefill writes the prepend mask here so
+                # padded prepend positions stay masked for the whole decode
+                "kmask": jnp.ones((batch, total), bool),
                 "index": jnp.zeros((), jnp.int32),
             }
             for _ in range(n_layers)

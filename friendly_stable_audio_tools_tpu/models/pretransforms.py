@@ -100,14 +100,19 @@ class AutoencoderPretransform(Pretransform):
         return self._maybe_stop_grad(x.astype(jnp.float32))
 
     def tokenize(self, x, **kwargs):
+        """audio [B, C, T] -> tokens [B, K, T'] (uniform public layout across
+        pretransform types, matching DAC/audiocraft and the reference LM's
+        assumption; the reference's own AE pretransform leaks lucidrains'
+        [B, T', K] and is layout-incompatible with its LM — fixed here)."""
         assert self.is_discrete, "Cannot tokenize with a continuous model"
         x_nwc = jnp.asarray(x).transpose(0, 2, 1)
         _, info = self.model._encode_nwc(x_nwc, **kwargs)
-        return info[self.model.module.bottleneck.tokens_id]
+        return info[self.model.module.bottleneck.tokens_id].transpose(0, 2, 1)
 
     def decode_tokens(self, tokens, **kwargs):
+        """tokens [B, K, T'] -> audio [B, C, T] (see tokenize)."""
         assert self.is_discrete, "Cannot decode tokens with a continuous model"
-        return self.model.decode_tokens(tokens, **kwargs)
+        return self.model.decode_tokens(jnp.asarray(tokens).transpose(0, 2, 1), **kwargs)
 
     def load_params(self, params):
         self.model.params = params

@@ -201,6 +201,18 @@ class Attention(nn.Module):
             q_pos = idx + jnp.arange(q.shape[-2])
             valid = jnp.arange(k.shape[-2])[None, :] <= q_pos[:, None]
             attn_mask = valid[None, None, :, :]
+            if "kmask" in kv_cache:
+                # per-key validity persisted across decode steps: the PREFILL
+                # writes the (padded) prepend mask, decode steps write True —
+                # without this, every decode step attends to padding
+                # embeddings the training path masks out
+                b_ = x.shape[0]
+                cur_valid = (mask.astype(bool) if mask is not None
+                             else jnp.ones((b_, q.shape[-2]), bool))
+                kmask = jax.lax.dynamic_update_slice(kv_cache["kmask"], cur_valid, (0, idx))
+                new_kv["kmask"] = kmask
+                attn_mask = attn_mask & kmask[:, None, None, :]
+            mask = None  # consumed into attn_mask; do not re-apply per-q-token
             causal = False  # masking handles causality over the buffer
         elif kv_cache is not None:
             # dynamic cache (host-loop decode): concatenate past keys/values

@@ -102,13 +102,13 @@ class AudioLanguageModelTrainingWrapper:
         pt_kwargs = ({"params": frozen["pretransform"]}
                      if frozen.get("pretransform") is not None else {})
 
-        # tokenize outside grad (frozen pretransform; reference :119-122)
+        # tokenize outside grad (frozen pretransform; reference :119-122);
+        # pretransform.tokenize returns [B, K, T'] for every pretransform type
         if not self.pre_encoded:
-            codes = self.lm.pretransform.tokenize(reals.transpose(0, 2, 1), **pt_kwargs)  # [B, T', K]
+            codes_bkt = self.lm.pretransform.tokenize(reals.transpose(0, 2, 1), **pt_kwargs)
         else:
-            codes = reals.astype(jnp.int32)
-        codes = jax.lax.stop_gradient(jnp.asarray(codes)).astype(jnp.int32)
-        codes_bkt = codes.transpose(0, 2, 1)  # [B, K, T']
+            codes_bkt = reals.astype(jnp.int32).transpose(0, 2, 1)  # [B, T, K] -> [B, K, T]
+        codes_bkt = jax.lax.stop_gradient(jnp.asarray(codes_bkt)).astype(jnp.int32)
 
         if padding_mask is not None:
             token_mask = _nearest_interp_mask(padding_mask, codes_bkt.shape[-1])

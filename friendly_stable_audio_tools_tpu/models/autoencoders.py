@@ -306,13 +306,24 @@ class AudioAutoencoder:
             x = self.pretransform.encode_nwc(x)
         fn = functools.partial(self._encode_nwc, params=params, rng=rng, **kwargs)
         if iterate_batch:
-            z = microbatched(lambda a: fn(a)[0] if return_info else fn(a), x, int(iterate_batch))
-            info = {}
-            if return_info:  # infos cannot be micro-batched losslessly; recompute flags empty
-                z, info = fn(x)
+            # host-side micro-batching (memory bound, like the reference's
+            # iterate_batch loop); infos are per-sample arrays, concatenated
+            n = int(iterate_batch)
+            zs, infos = [], []
+            for i in range(0, x.shape[0], n):
+                zi, ii = fn(x[i:i + n])
+                zs.append(zi)
+                infos.append(ii)
+            z = jnp.concatenate(zs, axis=0)
+
+            def _merge(*a):
+                # per-sample arrays concatenate; batch-reduced scalars average
+                return (jnp.concatenate(a, axis=0) if jnp.ndim(a[0]) >= 1
+                        else jnp.stack(a).mean())
+
+            info = jax.tree_util.tree_map(_merge, *infos) if infos and infos[0] else {}
         else:
-            out = fn(x)
-            z, info = out if isinstance(out, tuple) else (out, {})
+            z, info = fn(x)
         z = z.transpose(0, 2, 1)
         return (z, info) if return_info else z
 
@@ -368,6 +379,13 @@ class AudioAutoencoder:
         if self.pretransform is None:
             return None
         return getattr(getattr(self.pretransform, "model", None), "params", None)
+
+    def _pt_encode(self, x, pt_params):
+        if self.pretransform is None:
+            return x
+        if pt_params is not None:
+            return self.pretransform.encode_nwc(x, params=pt_params)
+        return self.pretransform.encode_nwc(x)
 
     def _pt_decode(self, x, pt_params):
         if pt_params is not None:
@@ -468,8 +486,15 @@ class AudioAutoencoder:
         if not chunked:
             return self.encode(audio, params=params, **kwargs)
         x = audio.transpose(0, 2, 1)
+
+        def enc_chunk(xc, p, pt_p, kw):
+            # full encode pipeline per chunk like the reference (self.encode
+            # per chunk, autoencoders.py:477): pretransform THEN encoder
+            xc = self._pt_encode(xc, pt_p)
+            return self._encode_nwc(xc, params=p, **kw)[0]
+
         if kwargs:
-            fn = lambda xc: self._encode_nwc(xc, params=params, **kwargs)[0]
+            fn = lambda xc: enc_chunk(xc, params, self._pt_jit_params(), kwargs)
             z = chunked_process(
                 fn, x,
                 chunk_in=chunk_size * r, hop_in=(chunk_size - overlap) * r,
@@ -480,9 +505,9 @@ class AudioAutoencoder:
             return z.transpose(0, 2, 1)
 
         def build():
-            def run(p, x):
+            def run(p, pt_p, x):
                 return chunked_process(
-                    lambda xc: self._encode_nwc(xc, params=p)[0], x,
+                    lambda xc: enc_chunk(xc, p, pt_p, {}), x,
                     chunk_in=chunk_size * r, hop_in=(chunk_size - overlap) * r,
                     chunk_out=chunk_size, hop_out=chunk_size - overlap,
                     overlap_out=overlap, out_channels=self.latent_dim,
@@ -491,7 +516,7 @@ class AudioAutoencoder:
             return run
 
         z = self._chunked_jit("encode", chunk_size, overlap, build)(
-            params if params is not None else self.params, x)
+            params if params is not None else self.params, self._pt_jit_params(), x)
         return z.transpose(0, 2, 1)
 
     def decode_audio(self, latents, chunked: bool = False, chunk_size: int = 128,
@@ -504,8 +529,19 @@ class AudioAutoencoder:
         if not chunked:
             return self.decode(latents, params=params, **kwargs)
         z = latents.transpose(0, 2, 1)
+
+        def dec_chunk(zc, p, pt_p, kw):
+            # full decode pipeline per chunk like the reference (self.decode
+            # per chunk, autoencoders.py:551): decoder, pretransform, soft_clip
+            xc = self._decode_nwc(zc, params=p, **kw)
+            if self.pretransform is not None:
+                xc = self._pt_decode(xc, pt_p)
+            if self.soft_clip:
+                xc = jnp.tanh(xc)
+            return xc
+
         if kwargs:
-            fn = lambda zc: self._decode_nwc(zc, params=params, **kwargs)
+            fn = lambda zc: dec_chunk(zc, params, self._pt_jit_params(), kwargs)
             x = chunked_process(
                 fn, z,
                 chunk_in=chunk_size, hop_in=chunk_size - overlap,
@@ -516,9 +552,9 @@ class AudioAutoencoder:
             return x.transpose(0, 2, 1)
 
         def build():
-            def run(p, z):
+            def run(p, pt_p, z):
                 return chunked_process(
-                    lambda zc: self._decode_nwc(zc, params=p), z,
+                    lambda zc: dec_chunk(zc, p, pt_p, {}), z,
                     chunk_in=chunk_size, hop_in=chunk_size - overlap,
                     chunk_out=chunk_size * r, hop_out=(chunk_size - overlap) * r,
                     overlap_out=overlap * r, out_channels=self.out_channels,
@@ -527,7 +563,7 @@ class AudioAutoencoder:
             return run
 
         x = self._chunked_jit("decode", chunk_size, overlap, build)(
-            params if params is not None else self.params, z)
+            params if params is not None else self.params, self._pt_jit_params(), z)
         return x.transpose(0, 2, 1)
 
     def reconstruct_audio(self, audio, chunked: bool = True, chunk_size: int = 128,
@@ -542,10 +578,19 @@ class AudioAutoencoder:
             return self.decode(self.encode(audio, params=params, **kwargs), params=params, **kwargs)
         x = audio.transpose(0, 2, 1)
 
+        def rt_chunk(xc, p, pt_p, kw):
+            xc = self._pt_encode(xc, pt_p)
+            z = self._encode_nwc(xc, params=p, **kw)[0]
+            yc = self._decode_nwc(z, params=p, **kw)
+            if self.pretransform is not None:
+                yc = self._pt_decode(yc, pt_p)
+            if self.soft_clip:
+                yc = jnp.tanh(yc)
+            return yc
+
         if kwargs:
             def fn(xc):
-                z = self._encode_nwc(xc, params=params, **kwargs)[0]
-                return self._decode_nwc(z, params=params, **kwargs)
+                return rt_chunk(xc, params, self._pt_jit_params(), kwargs)
 
             y = chunked_process(
                 fn, x,
@@ -557,13 +602,9 @@ class AudioAutoencoder:
             return y.transpose(0, 2, 1)
 
         def build():
-            def run(p, x):
-                def fn(xc):
-                    z = self._encode_nwc(xc, params=p)[0]
-                    return self._decode_nwc(z, params=p)
-
+            def run(p, pt_p, x):
                 return chunked_process(
-                    fn, x,
+                    lambda xc: rt_chunk(xc, p, pt_p, {}), x,
                     chunk_in=chunk_size * r, hop_in=(chunk_size - overlap) * r,
                     chunk_out=chunk_size * r, hop_out=(chunk_size - overlap) * r,
                     overlap_out=overlap * r, out_channels=self.out_channels,
@@ -572,7 +613,7 @@ class AudioAutoencoder:
             return run
 
         y = self._chunked_jit("reconstruct", chunk_size, overlap, build)(
-            params if params is not None else self.params, x)
+            params if params is not None else self.params, self._pt_jit_params(), x)
         return y.transpose(0, 2, 1)
 
 
@@ -645,7 +686,8 @@ def create_autoencoder_from_config(config: tp.Dict[str, tp.Any]) -> AudioAutoenc
     if bottleneck is not None:
         bottleneck = create_bottleneck_from_config(bottleneck)
 
-    soft_clip = ae_config["decoder"].get("soft_clip", False)
+    # reference reads soft_clip from decoder_config["config"] (autoencoders.py:714)
+    soft_clip = ae_config["decoder"].get("config", {}).get("soft_clip", False)
 
     module = AudioAutoencoderModule(encoder=encoder, decoder=decoder, bottleneck=bottleneck)
     return AudioAutoencoder(
@@ -692,7 +734,9 @@ class DiffusionAutoencoder(AudioAutoencoder):
         pretransform decode) runs as one cached jitted program per `steps`."""
         from ..inference.sampling import sample
 
-        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        # fresh noise per call like the reference's torch.randn (a fixed
+        # default key would return bit-identical "samples" every invocation)
+        rng = rng if rng is not None else jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
         z0 = jnp.asarray(latents).transpose(0, 2, 1)  # [B, L, C]
 
         def run(ae_params, diff_params, pt_params, z, key):
@@ -701,7 +745,11 @@ class DiffusionAutoencoder(AudioAutoencoder):
                 z = self.module.apply({"params": ae_params}, z,
                                       method=lambda m, a: m.bottleneck.decode(a))
             if self.module.decoder is not None:
-                z = self.module.apply({"params": ae_params}, z, method="decode")
+                # decoder ONLY: method="decode" would re-apply the bottleneck
+                # decode a second time (noise-augment bottlenecks would then
+                # change shape / non-idempotent decodes corrupt latents)
+                z = self.module.apply({"params": ae_params}, z,
+                                      method=lambda m, a: m.decoder(a))
             if z.shape[1] != upsampled_length:
                 idx = (jnp.arange(upsampled_length) * z.shape[1]) // upsampled_length
                 z = z[:, idx, :]

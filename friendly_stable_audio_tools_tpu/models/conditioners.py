@@ -74,19 +74,6 @@ class _IntEmbed(nn.Module):
         return nn.Embed(self.n, self.output_dim, param_dtype=jnp.float32, name="int_embedder")(ints)
 
 
-class _LUTEmbed(nn.Module):
-    vocab: int
-    output_dim: int
-    project_out: bool = False
-
-    @nn.compact
-    def __call__(self, ids, mask):
-        e = nn.Embed(self.vocab, self.output_dim, param_dtype=jnp.float32, name="token_embedder")(ids)
-        if self.project_out:
-            e = nn.Dense(self.output_dim, param_dtype=jnp.float32, name="proj_out")(e)
-        return e * mask[..., None].astype(e.dtype)
-
-
 class _ProjOut(nn.Module):
     dim_in: int
     dim_out: int
@@ -173,8 +160,13 @@ def _find_spiece_model(name: str, tokenizer_path: tp.Optional[str]) -> tp.Option
             candidates.append(os.path.join(root, "spiece.model"))
     for c in candidates:
         if os.path.isfile(c):
+            # an explicit FILE path must actually be a sentencepiece model;
+            # tokenizer.json / vocab.json etc. go to the AutoTokenizer ladder
+            if tokenizer_path and not os.path.isdir(tokenizer_path) \
+                    and not c.endswith(".model"):
+                return None
             return c
-    if tokenizer_path:
+    if tokenizer_path and not os.path.isdir(tokenizer_path):
         raise FileNotFoundError(f"tokenizer_path={tokenizer_path!r}: no spiece.model found")
     return None
 
@@ -192,6 +184,20 @@ def get_hf_tokenizer(name: str, fallback_vocab: int = 32100,
         # len(tokenizer) must match that or pretrained checkpoints break.
         extra = 100 if _is_sentencepiece_family(name) else 0
         return SentencePieceUnigramTokenizer.from_file(spiece, extra_ids=extra)
+    if tokenizer_path:
+        # explicit local path holding an HF tokenizer (tokenizer.json /
+        # vocab.json): load it directly before falling back to `name`
+        try:
+            import os
+
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                from transformers import AutoTokenizer
+
+                d = tokenizer_path if os.path.isdir(tokenizer_path) else os.path.dirname(tokenizer_path)
+                return AutoTokenizer.from_pretrained(d, local_files_only=True)
+        except Exception:
+            pass
     previous = logging.root.manager.disable
     logging.disable(logging.ERROR)
     try:
@@ -378,7 +384,7 @@ class PhonemeConditioner(Conditioner):
             self.g2p = None
         # ARPAbet phonemes + punctuation + words fallback; fixed-size table
         self.vocab_size = 256
-        self.module = _PhonemeM = _LUTWithMask(self.vocab_size, output_dim, self.has_proj_out)
+        self.module = _LUTWithMask(self.vocab_size, output_dim, self.has_proj_out)
 
     def example_input(self):
         return ["hi"]
@@ -462,7 +468,6 @@ class CLAPTextConditioner(Conditioner):
         self.max_length = 77  # laion-clap RoBERTa tokenizer budget
         self.tokenizer = get_hf_tokenizer("roberta-base", 50265)
 
-        branch = CLAPTextBranch()
         use_feats = use_text_features
         f_ix = feature_layer_ix
         has_proj = self.has_proj_out
@@ -495,6 +500,16 @@ class CLAPTextConditioner(Conditioner):
 
         params = super().init(rng)
         if self.clap_ckpt_path and os.path.exists(self.clap_ckpt_path):
+            if getattr(self.tokenizer, "is_fallback", False) and \
+                    os.environ.get("FSAT_ALLOW_FALLBACK_TOKENIZER") != "1":
+                raise RuntimeError(
+                    "CLAPTextConditioner: pretrained CLAP weights requested "
+                    "(clap_ckpt_path) but only the hash-fallback tokenizer is "
+                    "available — token ids would not match the checkpoint and "
+                    "conditioning would be silently wrong. Provide a cached "
+                    "roberta-base tokenizer (HF cache or FSAT_TOKENIZER_DIR/"
+                    "roberta-base/), or set FSAT_ALLOW_FALLBACK_TOKENIZER=1 "
+                    "for smoke tests.")
             from .clap import convert_clap_text_branch
             from .utils import load_ckpt_state_dict
             from ..utils.common import copy_state_dict
@@ -678,13 +693,28 @@ class MultiConditioner:
         """Pure/jittable: dict of conditioner arrays -> dict of (embeds, mask)."""
         return {k: self.conditioners[k].embed(params[k], **arrays[k]) for k in arrays}
 
+    def _frozen_weight_token(self):
+        """Identity of frozen weight trees read at TRACE time inside embed
+        (pretransform encoders). They are baked into the compiled program as
+        constants; if load_params() swaps them after the first call, the
+        cached jit would silently serve embeddings from the STALE weights —
+        so the cache key includes their object identity."""
+        toks = []
+        for _, c in sorted(self.conditioners.items()):
+            pt = getattr(c, "pretransform", None)
+            if pt is not None:
+                toks.append(id(getattr(getattr(pt, "model", None), "params", None)))
+        return tuple(toks)
+
     def __call__(self, batch_metadata: tp.List[tp.Dict[str, tp.Any]]) -> tp.Dict[str, tp.Any]:
         arrays = self.preprocess(batch_metadata)
-        # jit the embed (cached; retraces only on new array shapes/structure):
-        # a frozen-T5 forward dispatched eagerly costs seconds over the TPU
-        # dispatch path, vs one compiled program here
-        if not hasattr(self, "_embed_jit"):
+        # jit the embed (cached; retraces only on new array shapes/structure
+        # or swapped frozen weights): a frozen-T5 forward dispatched eagerly
+        # costs seconds over the TPU dispatch path, vs one compiled program
+        key = self._frozen_weight_token()
+        if getattr(self, "_embed_jit_key", None) != key:
             self._embed_jit = jax.jit(self.embed)
+            self._embed_jit_key = key
         return self._embed_jit(self.params, arrays)
 
 

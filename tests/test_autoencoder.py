@@ -137,3 +137,55 @@ def test_preprocess_audio_for_encoder():
     batch = ae.preprocess_audio_for_encoder(mono, in_sr=16000)
     assert batch.shape[0] == 1 and batch.shape[1] == 2  # stereo coerced
     assert batch.shape[2] % ae.downsampling_ratio == 0
+
+
+def test_chunked_decode_applies_soft_clip(rng):
+    """Chunked decode must run the same full pipeline as non-chunked decode
+    (regression: soft_clip/pretransform were skipped on the chunked path)."""
+    ae = tiny_ae(VAEBottleneck(), latent_dim=8, enc_latent_dim=16)
+    ae.soft_clip = True
+    latents = jnp.asarray(rng.standard_normal((1, 8, 64)).astype(np.float32)) * 3.0
+    full = np.asarray(ae.decode(latents))
+    chunked = np.asarray(ae.decode_audio(latents, chunked=True, chunk_size=16, overlap=4))
+    assert np.abs(full).max() <= 1.0 + 1e-6, "soft_clip missing on plain decode"
+    assert np.abs(chunked).max() <= 1.0 + 1e-6, "soft_clip missing on CHUNKED decode"
+    # interiors agree (chunk boundaries crossfade)
+    assert np.abs(full - chunked).mean() < 0.05
+
+
+def test_encode_iterate_batch_matches_full(rng):
+    """iterate_batch (host micro-batching) must return the same latents and
+    infos as the full-batch call (regression: it crashed without return_info
+    and silently recomputed the full batch with it)."""
+    ae = tiny_ae(VAEBottleneck(), latent_dim=8, enc_latent_dim=16)
+    audio = jnp.asarray(rng.standard_normal((4, 2, 128)).astype(np.float32))
+    z_full, info_full = ae.encode(audio, return_info=True, rng=jax.random.PRNGKey(0))
+    z_it, info_it = ae.encode(audio, return_info=True, iterate_batch=2,
+                              rng=jax.random.PRNGKey(0))
+    assert z_it.shape == z_full.shape
+    assert set(info_it) == set(info_full)
+    z_plain = ae.encode(audio, iterate_batch=2, rng=jax.random.PRNGKey(0))
+    assert z_plain.shape == z_full.shape
+
+
+def test_soft_clip_read_from_decoder_config():
+    """Factory must read soft_clip from decoder['config'] like the reference
+    (regression: it looked at the top-level decoder dict and always got
+    False)."""
+    from friendly_stable_audio_tools_tpu.models.autoencoders import create_autoencoder_from_config
+
+    cfg = {
+        "sample_rate": 16000,
+        "model": {
+            "encoder": {"type": "oobleck", "config": {
+                "in_channels": 2, "channels": 8, "c_mults": [1, 2], "strides": [2, 4],
+                "latent_dim": 16, "use_snake": True}},
+            "decoder": {"type": "oobleck", "config": {
+                "out_channels": 2, "channels": 8, "c_mults": [1, 2], "strides": [2, 4],
+                "latent_dim": 8, "use_snake": True, "soft_clip": True}},
+            "bottleneck": {"type": "vae"},
+            "latent_dim": 8, "downsampling_ratio": 8, "io_channels": 2,
+        },
+    }
+    ae = create_autoencoder_from_config(cfg)
+    assert ae.soft_clip is True

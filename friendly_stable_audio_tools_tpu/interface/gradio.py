@@ -47,7 +47,9 @@ def load_model(model_config=None, model_ckpt_path=None, pretrained_name=None,
             from ..models.utils import load_ckpt_state_dict
             from ..utils.common import copy_state_dict
 
-            MODEL.params = copy_state_dict(MODEL.params, load_ckpt_state_dict(model_ckpt_path))
+            from ..models.utils import load_unwrapped_checkpoint
+
+            load_unwrapped_checkpoint(MODEL, model_ckpt_path)
 
     if pretransform_ckpt_path and getattr(MODEL, "pretransform", None) is not None:
         from ..models.utils import load_ckpt_state_dict

@@ -111,3 +111,35 @@ def sample_top_p(rng: jax.Array, probs: jnp.ndarray, p: float) -> jnp.ndarray:
     probs_sort = probs_sort / jnp.sum(probs_sort, axis=-1, keepdims=True)
     draw = multinomial(rng, probs_sort, num_samples=1)
     return jnp.take_along_axis(sort_idx, draw, axis=-1)
+
+
+def load_unwrapped_checkpoint(model, ckpt_path: str):
+    """Load an unwrapped (exported) checkpoint into a model wrapper.
+
+    Handles this framework's export formats: model params at the root
+    (current), a legacy "model/" root prefix (earlier exports), and trained
+    conditioner weights under "conditioner/<id>/" (copied into the wrapper's
+    conditioners when present). Shape-checked partial load via
+    copy_state_dict.
+    """
+    from ..utils.common import _flatten_dict, copy_state_dict
+
+    flat = load_ckpt_state_dict(ckpt_path)
+    flat = _flatten_dict(flat) if any(isinstance(v, dict) for v in flat.values()) else dict(flat)
+
+    cond_flat = {k[len("conditioner/"):]: v for k, v in flat.items()
+                 if k.startswith("conditioner/")}
+    model_flat = {k: v for k, v in flat.items() if not k.startswith("conditioner/")}
+    if model_flat and all(k.startswith("model/") for k in model_flat):
+        model_flat = {k[len("model/"):]: v for k, v in model_flat.items()}
+
+    model.params = copy_state_dict(model.params, model_flat)
+
+    conditioner = getattr(model, "conditioner", None)
+    if cond_flat and conditioner is not None:
+        for cid, c in conditioner.conditioners.items():
+            sub = {k[len(cid) + 1:]: v for k, v in cond_flat.items()
+                   if k.startswith(cid + "/")}
+            if sub and c.params:
+                c.params = copy_state_dict(c.params, sub)
+    return model

@@ -173,7 +173,7 @@ class DiffusionCondTrainingWrapper:
         return out
 
     def train_step(self, state: TrainState, batch: dict, rng: jax.Array, accum: int = 1,
-                   frozen: tp.Optional[dict] = None):
+                   frozen: tp.Optional[dict] = None, already_encoded: bool = False):
         """batch = {"reals": [B,T,C] (or latents if pre_encoded),
                     "cond": {id: {arrays}}, "padding_mask": [B,T] bool|None}.
         Returns (new_state, metrics).
@@ -185,12 +185,14 @@ class DiffusionCondTrainingWrapper:
         update. `frozen` carries the frozen pretransform/conditioner params
         (see `frozen_arrays`); None falls back to closure constants."""
         if accum > 1:
-            return self._train_step_accum(state, batch, rng, accum, frozen)
-        (loss, aux), grads = self._loss_and_grads(state.params, batch, rng, state.qmc_counter, frozen)
+            return self._train_step_accum(state, batch, rng, accum, frozen,
+                                          already_encoded=already_encoded)
+        (loss, aux), grads = self._loss_and_grads(state.params, batch, rng, state.qmc_counter,
+                                                  frozen, already_encoded=already_encoded)
         return self._apply_update(state, batch["reals"].shape[0], loss, aux, grads)
 
     def _loss_and_grads(self, params_in, batch: dict, rng: jax.Array, qmc_counter,
-                        frozen: tp.Optional[dict] = None):
+                        frozen: tp.Optional[dict] = None, already_encoded: bool = False):
         reals = batch["reals"]
         padding_mask = batch.get("padding_mask")
         b = reals.shape[0]
@@ -215,7 +217,7 @@ class DiffusionCondTrainingWrapper:
             diffusion_input = reals
             use_mask = padding_mask is not None and self.mask_padding
             mask = padding_mask
-            if self.diffusion.pretransform is not None:
+            if self.diffusion.pretransform is not None and not already_encoded:
                 if not self.pre_encoded:
                     pt_kwargs = {"params": pretransform_params} if pretransform_params is not None else {}
                     diffusion_input = self.diffusion.pretransform.encode_nwc(diffusion_input, **pt_kwargs)
@@ -265,11 +267,18 @@ class DiffusionCondTrainingWrapper:
             aux = dict(losses)
             aux["std_data"] = x32.std()
             if self.log_loss_info:
-                # per-sigma-bucket diagnostics (reference 379-400); psums occur
-                # naturally if this runs under pjit with a sharded batch
+                # per-sigma-bucket diagnostics (reference 379-400) reduced to
+                # SCALARS here so they survive _apply_update's scalar metrics
+                # filter and reach the logger (8 buckets like the reference)
                 mse_all = jnp.mean(jnp.square(output - targets), axis=(1, 2))
-                aux["sigmas"] = sigmas.squeeze((1, 2))
-                aux["loss_all"] = mse_all
+                sig = sigmas.squeeze((1, 2))
+                n_buckets = 8
+                bucket = jnp.clip((sig * n_buckets).astype(jnp.int32), 0, n_buckets - 1)
+                for i_b in range(n_buckets):
+                    in_b = bucket == i_b
+                    cnt = jnp.maximum(in_b.sum(), 1)
+                    aux[f"loss_sigma_{i_b / n_buckets:.3f}"] = \
+                        jnp.where(in_b, mse_all, 0.0).sum() / cnt
             return loss, aux
 
         return jax.value_and_grad(loss_fn, has_aux=True)(params_in)
@@ -291,7 +300,7 @@ class DiffusionCondTrainingWrapper:
         return new_state, metrics
 
     def _train_step_accum(self, state: TrainState, batch: dict, rng: jax.Array, accum: int,
-                          frozen: tp.Optional[dict] = None):
+                          frozen: tp.Optional[dict] = None, already_encoded: bool = False):
         b = batch["reals"].shape[0]
         assert b % accum == 0, f"batch {b} not divisible by accum_batches {accum}"
         mb = b // accum
@@ -307,20 +316,27 @@ class DiffusionCondTrainingWrapper:
             k = jax.random.fold_in(rng, i)
             (loss, aux), grads = self._loss_and_grads(
                 state.params, microbatch, k,
-                state.qmc_counter + jnp.uint32(i) * jnp.uint32(mb), frozen)
+                state.qmc_counter + jnp.uint32(i) * jnp.uint32(mb), frozen,
+                already_encoded=already_encoded)
             return (
                 loss_acc + loss,
                 jax.tree_util.tree_map(jnp.add, aux_acc, aux),
                 jax.tree_util.tree_map(jnp.add, grads_acc, grads),
             ), None
 
-        # one probe call shapes the aux accumulator; scan handles the rest
-        (l0, a0), g0 = self._loss_and_grads(state.params, jax.tree_util.tree_map(lambda x: x[0], micro),
-                                            jax.random.fold_in(rng, 0), state.qmc_counter, frozen)
-        init = (l0, a0, g0)
-        idx = jnp.arange(1, accum)
-        rest = jax.tree_util.tree_map(lambda x: x[1:], micro)
-        (loss_sum, aux_sum, grads_sum), _ = jax.lax.scan(body, init, (idx, rest))
+        # shape the accumulators ABSTRACTLY (eval_shape): tracing a probe
+        # call would compile the whole fwd/bwd twice — once inline, once as
+        # the scan body — doubling compile time for exactly the large models
+        # accumulation targets
+        first = jax.tree_util.tree_map(lambda x: x[0], micro)
+        out_shapes = jax.eval_shape(
+            lambda p, mbatch: self._loss_and_grads(
+                p, mbatch, rng, state.qmc_counter, frozen, already_encoded=already_encoded),
+            state.params, first)
+        init = jax.tree_util.tree_map(lambda sd: jnp.zeros(sd.shape, sd.dtype), out_shapes)
+        (l0, a0), g0 = init
+        idx = jnp.arange(accum)
+        (loss_sum, aux_sum, grads_sum), _ = jax.lax.scan(body, (l0, a0, g0), (idx, micro))
         inv = 1.0 / accum
         loss = loss_sum * inv
         aux = jax.tree_util.tree_map(lambda a: a * inv, aux_sum)
@@ -342,14 +358,23 @@ class DiffusionCondTrainingWrapper:
     # ---- export ---------------------------------------------------------
 
     def export_model(self, path: str, state: tp.Optional[TrainState] = None, use_safetensors: bool = True):
-        """EMA-preferring export (reference training/diffusion.py:425-429)."""
+        """EMA-preferring export (reference training/diffusion.py:425-429).
+
+        Saves the model params at the ROOT (loadable straight into
+        wrapper.params via copy_state_dict / load_unwrapped_checkpoint) plus
+        trained conditioner weights under conditioner/<id>/ — the reference
+        exports them too (its state_dict includes the conditioner); dropping
+        them would pair the trained DiT with stale conditioner weights."""
         from ..models.utils import save_ckpt_state_dict
 
         if state is not None:
             params = state.ema_params if (self.use_ema and state.ema_params is not None) else state.params["model"]
         else:
             params = self.diffusion.params
-        save_ckpt_state_dict({"model": params}, path)
+        payload = dict(params)
+        if state is not None and "conditioner" in state.params:
+            payload["conditioner"] = state.params["conditioner"]
+        save_ckpt_state_dict(payload, path)
 
 
 class DiffusionUncondTrainingWrapper:
@@ -381,14 +406,25 @@ class DiffusionUncondTrainingWrapper:
     def push_params(self, state: TrainState) -> None:
         self.diffusion.params = state.params["model"]
 
-    def train_step(self, state: TrainState, batch: dict, rng: jax.Array):
+    def frozen_arrays(self) -> dict:
+        """Frozen pretransform params, passed to train_step as jit ARGUMENTS
+        (never closed-over constants — stale-weight / giant-HLO hazard)."""
+        pt = self.diffusion.pretransform
+        if pt is not None and getattr(pt, "model", None) is not None and not self.pre_encoded:
+            return {"pretransform": pt.model.params}
+        return {}
+
+    def train_step(self, state: TrainState, batch: dict, rng: jax.Array,
+                   frozen: tp.Optional[dict] = None):
         reals = batch["reals"]  # [B, T, C]
         k_t, k_noise = jax.random.split(rng)
+        pt_params = (frozen or {}).get("pretransform")
 
         def loss_fn(params):
             diffusion_input = reals
             if self.diffusion.pretransform is not None and not self.pre_encoded:
-                diffusion_input = self.diffusion.pretransform.encode_nwc(diffusion_input)
+                pt_kwargs = {"params": pt_params} if pt_params is not None else {}
+                diffusion_input = self.diffusion.pretransform.encode_nwc(diffusion_input, **pt_kwargs)
             t = draw_timesteps(self.timestep_sampler, reals.shape[0], state.qmc_counter, k_t)
             if self.diffusion_objective == "v":
                 alphas, sigmas = get_alphas_sigmas(t)
@@ -424,7 +460,7 @@ class DiffusionUncondTrainingWrapper:
             params = state.ema_params if (self.use_ema and state.ema_params is not None) else state.params["model"]
         else:
             params = self.diffusion.params
-        save_ckpt_state_dict({"model": params}, path)
+        save_ckpt_state_dict(params, path)
 
 
 def create_source_mixture(rng, reals: jnp.ndarray, num_sources: int = 2) -> jnp.ndarray:
@@ -450,55 +486,70 @@ class DiffusionCondInpaintTrainingWrapper(DiffusionCondTrainingWrapper):
         self.max_mask_segments = max_mask_segments
 
     def random_mask(self, rng, shape: tp.Tuple[int, int]) -> jnp.ndarray:
-        """[B, T] 1=regenerate masks: random multi-segment / full / causal
-        (reference 680-717), chosen per batch element."""
+        """[B, T] KEEP masks (1 = keep, 0 = regenerate — the REFERENCE
+        convention, diffusion.py:680-717): random multi-segment / full /
+        causal, chosen per batch element.
+
+        Segments follow the reference distribution: num_segments ~ U{1..max},
+        each length ~ U{1..T//num_segments} (the reference samples lengths
+        without replacement; with-replacement here — same scale, static
+        shapes). Full masks regenerate EVERYTHING; causal masks regenerate a
+        random-length suffix."""
         b, t = shape
-        keys = jax.random.split(rng, 5)
+        keys = jax.random.split(rng, 6)
         mask_type = jax.random.randint(keys[0], (b,), 0, 3)
 
-        # segments: up to max_mask_segments random intervals
-        n_seg = self.max_mask_segments
-        starts = jax.random.randint(keys[1], (b, n_seg), 0, t)
-        lens = jax.random.randint(keys[2], (b, n_seg), 1, t // 4 + 1)
+        n_max = self.max_mask_segments
+        n_seg = jax.random.randint(keys[1], (b, 1), 1, n_max + 1)
+        max_len = jnp.maximum(t // n_seg, 1)  # [b,1]
+        u_len = jax.random.uniform(keys[2], (b, n_max))
+        lens = 1 + jnp.floor(u_len * max_len).astype(jnp.int32)
+        u_start = jax.random.uniform(keys[3], (b, n_max))
+        starts = jnp.floor(u_start * (t - lens + 1)).astype(jnp.int32)
+        active = jnp.arange(n_max)[None, :] < n_seg
         pos = jnp.arange(t)[None, None, :]
-        seg = ((pos >= starts[..., None]) & (pos < (starts + lens)[..., None])).any(axis=1)
+        regen = ((pos >= starts[..., None]) & (pos < (starts + lens)[..., None])
+                 & active[..., None]).any(axis=1)
+        seg_keep = ~regen
 
-        full = jnp.ones((b, t), bool)
-        causal_point = jax.random.randint(keys[3], (b, 1), 0, t)
-        causal = jnp.arange(t)[None, :] >= causal_point
+        full_keep = jnp.zeros((b, t), bool)  # full mask: regenerate all
+        mask_len = jax.random.randint(keys[4], (b, 1), 1, t + 1)
+        causal_keep = jnp.arange(t)[None, :] < (t - mask_len)
 
-        mask = jnp.where(mask_type[:, None] == 0, seg, jnp.where(mask_type[:, None] == 1, full, causal))
-        return mask
+        return jnp.where(mask_type[:, None] == 0, seg_keep,
+                         jnp.where(mask_type[:, None] == 1, full_keep, causal_keep))
 
-    def train_step(self, state: TrainState, batch: dict, rng: jax.Array):
+    def train_step(self, state: TrainState, batch: dict, rng: jax.Array, accum: int = 1,
+                   frozen: tp.Optional[dict] = None):
         """Adds inpaint conditioning into batch['cond'] before the shared
-        conditional step."""
+        conditional step. Encodes ONCE here (masking happens on the scaled
+        latents like the reference, diffusion.py:744-751) and tells the
+        parent the input is already encoded — the previous pre_encoded flip
+        re-divided by the pretransform scale a second time."""
         rng, k_mask = jax.random.split(rng)
         reals = batch["reals"]
+        frozen = frozen or {}
 
-        # compute in latent domain inside loss via pretransform; here build the
-        # audio-domain mask and let the cond path downsample naturally:
-        # reference computes the mask at latent rate (inputs already encoded);
-        # we encode first to get the latent shape.
         diffusion_input = reals
-        if self.diffusion.pretransform is not None and not self.pre_encoded:
-            diffusion_input = self.diffusion.pretransform.encode_nwc(reals)
-        mask = self.random_mask(k_mask, (diffusion_input.shape[0], diffusion_input.shape[1]))
-        masked_input = jnp.where(mask[:, :, None], 0.0, diffusion_input.astype(jnp.float32))
+        if self.diffusion.pretransform is not None:
+            if not self.pre_encoded:
+                pt_params = frozen.get("pretransform")
+                pt_kwargs = {"params": pt_params} if pt_params is not None else {}
+                diffusion_input = self.diffusion.pretransform.encode_nwc(reals, **pt_kwargs)
+            else:
+                scale = getattr(self.diffusion.pretransform, "scale", 1.0)
+                if scale != 1.0:
+                    diffusion_input = diffusion_input / scale
 
-        cond = dict(batch.get("cond", {}))
-        cond_tensors_extra = {
-            "inpaint_mask": (mask[:, :, None].astype(jnp.float32), jnp.ones(mask.shape[:1] + (1,), bool)),
+        keep = self.random_mask(k_mask, (diffusion_input.shape[0], diffusion_input.shape[1]))
+        masked_input = diffusion_input.astype(jnp.float32) * keep[:, :, None]
+
+        batch = dict(batch)
+        batch["cond"] = dict(batch.get("cond", {}))
+        batch["_extra_cond_tensors"] = {
+            "inpaint_mask": (keep[:, :, None].astype(jnp.float32), jnp.ones(keep.shape[:1] + (1,), bool)),
             "inpaint_masked_input": (masked_input, jnp.ones(masked_input.shape[:2], bool)),
         }
-        batch = dict(batch)
-        batch["cond"] = cond
-        batch["_extra_cond_tensors"] = cond_tensors_extra
-        batch["reals"] = diffusion_input if (self.diffusion.pretransform is not None and not self.pre_encoded) else reals
-        # the shared step treats reals as already-encoded in this path
-        old_pre = self.pre_encoded
-        self.pre_encoded = True
-        try:
-            return super().train_step(state, batch, rng)
-        finally:
-            self.pre_encoded = old_pre
+        batch["reals"] = diffusion_input
+        return super().train_step(state, batch, rng, accum=accum, frozen=frozen,
+                                  already_encoded=True)

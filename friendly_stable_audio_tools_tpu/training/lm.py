@@ -163,4 +163,7 @@ class AudioLanguageModelTrainingWrapper:
             params = state.ema_params if (self.use_ema and state.ema_params is not None) else state.params["model"]
         else:
             params = self.lm.params
-        save_ckpt_state_dict({"model": params}, path)
+        payload = dict(params)
+        if state is not None and isinstance(state.params, dict) and "conditioner" in state.params:
+            payload["conditioner"] = state.params["conditioner"]
+        save_ckpt_state_dict(payload, path)

@@ -91,10 +91,9 @@ def main():
             model_config = json.load(f)
         model = create_model_from_config(model_config, init_rng=jax.random.PRNGKey(0))
         if args.ckpt_path:
-            from friendly_stable_audio_tools_tpu.models.utils import load_ckpt_state_dict
-            from friendly_stable_audio_tools_tpu.utils.common import copy_state_dict
+            from friendly_stable_audio_tools_tpu.models.utils import load_unwrapped_checkpoint
 
-            model.params = copy_state_dict(model.params, load_ckpt_state_dict(args.ckpt_path))
+            load_unwrapped_checkpoint(model, args.ckpt_path)
     else:
         from friendly_stable_audio_tools_tpu.models.pretrained import get_pretrained_model
 

@@ -44,7 +44,9 @@ def main():
 
     model = create_model_from_config(model_config, init_rng=jax.random.PRNGKey(0))
     if args.ckpt_path:
-        model.params = copy_state_dict(model.params, load_ckpt_state_dict(args.ckpt_path))
+        from friendly_stable_audio_tools_tpu.models.utils import load_unwrapped_checkpoint
+
+        load_unwrapped_checkpoint(model, args.ckpt_path)
 
     rank, world_size = get_rank(), get_world_size()
 

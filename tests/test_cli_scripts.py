@@ -137,6 +137,25 @@ def test_train_then_unwrap_cli(tmp_path, tiny_cond_config):
     out = tmp_path / "exported.safetensors"
     assert out.is_file() and out.stat().st_size > 0
 
+    # the exported checkpoint must load CLEANLY back into generate.py
+    # (regression: exports were saved under a "model/" root that the load
+    # path never stripped — zero params matched and generation silently ran
+    # on random init)
+    yaml_path = tmp_path / "conds.yaml"
+    yaml_path.write_text("smoke:\n  a:\n    prompt: tone\n    seconds_total: 4\n")
+    gen_dir = tmp_path / "gen"
+    r3 = _run([
+        "generate.py", "--output-dir", str(gen_dir),
+        "--cond-yaml-path", str(yaml_path),
+        "--model-config", str(cfg_path), "--ckpt-path", str(out),
+        "--sample-steps", "2", "--batch-size", "2", "--seed", "3",
+    ])
+    assert r3.returncode == 0, r3.stderr[-3000:]
+    combined = r3.stdout + r3.stderr
+    assert "not found in checkpoint" not in combined, \
+        f"exported ckpt did not load cleanly:\n{combined[-1500:]}"
+    assert sorted(gen_dir.rglob("*.wav"))
+
 
 def test_train_autoencoder_cli(tmp_path):
     """AE GAN training (alternating gen/disc steps) through the train.py CLI

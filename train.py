@@ -65,7 +65,9 @@ def main():
 
     if args.pretrained_ckpt_path:
         print(f"->->-> Loading a pretrained checkpoint from {args.pretrained_ckpt_path}...")
-        model.params = copy_state_dict(model.params, load_ckpt_state_dict(args.pretrained_ckpt_path))
+        from friendly_stable_audio_tools_tpu.models.utils import load_unwrapped_checkpoint
+
+        load_unwrapped_checkpoint(model, args.pretrained_ckpt_path)
 
     if args.remove_pretransform_weight_norm == "pre_load" and model.pretransform is not None:
         model.pretransform.model.params = remove_weight_norm_from_model(model.pretransform.model.params)

@@ -637,8 +637,12 @@ class PretransformConditioner(Conditioner):
         audio = set_audio_channels(audio, self.pretransform.io_channels)
         return {"audio": audio}
 
-    def embed(self, params, audio):
-        latents = self.pretransform.encode_nwc(jnp.asarray(audio).transpose(0, 2, 1))
+    def embed(self, params, audio, pt_params=None):
+        """pt_params: the frozen pretransform weights as an explicit argument
+        (training steps pass them via frozen_arrays so they become jit inputs
+        rather than closed-over HLO constants)."""
+        kw = {"params": pt_params} if pt_params is not None else {}
+        latents = self.pretransform.encode_nwc(jnp.asarray(audio).transpose(0, 2, 1), **kw)
         if self.module is not None:
             latents = self.module.apply({"params": params}, latents)
         return latents, jnp.ones(latents.shape[:2], bool)

@@ -170,6 +170,16 @@ class DiffusionCondTrainingWrapper:
         pt = self.diffusion.pretransform
         if pt is not None and getattr(pt, "model", None) is not None and not self.pre_encoded:
             out["pretransform"] = pt.model.params
+        # PretransformConditioner holds a frozen codec of its own; its
+        # weights ride as jit arguments too (same giant-constant hazard)
+        if self.diffusion.conditioner is not None:
+            cond_pt = {}
+            for cid, c in self.diffusion.conditioner.conditioners.items():
+                cpt = getattr(c, "pretransform", None)
+                if cpt is not None and getattr(cpt, "model", None) is not None:
+                    cond_pt[cid] = cpt.model.params
+            if cond_pt:
+                out["cond_pretransform"] = cond_pt
         return out
 
     def train_step(self, state: TrainState, batch: dict, rng: jax.Array, accum: int = 1,
@@ -207,10 +217,12 @@ class DiffusionCondTrainingWrapper:
             cond_tensors = {}
             if self.diffusion.conditioner is not None:
                 trainable_cond = params.get("conditioner", {})
+                cond_pt = frozen.get("cond_pretransform", {})
                 for cid, arrays in batch["cond"].items():
                     c = self.diffusion.conditioner.conditioners[cid]
                     cp = trainable_cond.get(cid, frozen_cond.get(cid))
-                    cond_tensors[cid] = c.embed(cp, **arrays)
+                    extra_kw = {"pt_params": cond_pt[cid]} if cid in cond_pt else {}
+                    cond_tensors[cid] = c.embed(cp, **arrays, **extra_kw)
             # precomputed tensors (e.g. inpaint mask/masked-input conds)
             cond_tensors.update(batch.get("_extra_cond_tensors", {}))
 

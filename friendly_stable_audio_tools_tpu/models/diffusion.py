@@ -235,7 +235,9 @@ class ConditionedDiffusionModelWrapper:
         if self.module_kind == "DAU1d":
             # reference DAU1DCondWrapper (diffusion.py:340-374)
             return self.module.apply({"params": params}, x, t, cond=input_concat_cond, rngs=rngs, **kwargs)
-        # DiT (reference DiTWrapper, diffusion.py:480-528)
+        # DiT (reference DiTWrapper, diffusion.py:480-528); batch_cfg=False
+        # selects the two-pass low-memory CFG path (it used to be swallowed
+        # here, making that path unreachable through the wrapper)
         return self.module.apply(
             {"params": params},
             x,
@@ -251,6 +253,7 @@ class ConditionedDiffusionModelWrapper:
             cfg_scale=cfg_scale,
             cfg_dropout_prob=cfg_dropout_prob,
             scale_phi=scale_phi,
+            batch_cfg=batch_cfg,
             train=train,
             rngs=rngs,
             **kwargs,
@@ -387,5 +390,6 @@ def create_diffusion_cond_from_config(config: tp.Dict[str, tp.Any]):
         io_channels=io_channels,
         patch_size=patch_size,
         module_kind=module_kind,
+        cond_token_dim=int(diffusion_model_config.get("cond_token_dim", 0) or 0),
         **extra_kwargs,
     )

@@ -103,8 +103,13 @@ class DiffusionTransformer(nn.Module):
             seq_shard_axis=self.seq_shard_axis,
         )
 
-        self.preprocess_conv = Conv1d(dim_in, dim_in, 1, use_bias=False, name="preprocess_conv")
-        self.postprocess_conv = Conv1d(self.io_channels, self.io_channels, 1, use_bias=False, name="postprocess_conv")
+        # zero-init: the residual 1x1 convs start as exact identity
+        # (reference dit.py:130-133 nn.init.zeros_)
+        zeros = lambda key, shape, dtype: jnp.zeros(shape, dtype)
+        self.preprocess_conv = Conv1d(dim_in, dim_in, 1, use_bias=False,
+                                      kernel_init=zeros, name="preprocess_conv")
+        self.postprocess_conv = Conv1d(self.io_channels, self.io_channels, 1, use_bias=False,
+                                       kernel_init=zeros, name="postprocess_conv")
 
     def _forward(
         self,
@@ -153,7 +158,10 @@ class DiffusionTransformer(nn.Module):
                 prepend_inputs = jnp.concatenate([prepend_inputs, global_embed[:, None, :]], axis=1)
                 if prepend_mask is not None:
                     prepend_mask = jnp.concatenate([prepend_mask, jnp.ones((b, 1), bool)], axis=1)
-            prepend_length = prepend_inputs.shape[1]
+        # trim length computed from whatever is actually prepended — with
+        # global_cond_type='adaLN' and prepend_cond set, the reference leaves
+        # prepended tokens IN the output (shape mismatch downstream); fixed
+        prepend_length = prepend_inputs.shape[1] if prepend_inputs is not None else 0
 
         x = self.preprocess_conv(x) + x
 
@@ -165,6 +173,10 @@ class DiffusionTransformer(nn.Module):
             b, tp_, c = x.shape
             p = self.patch_size
             x = x.reshape(b, tp_ // p, p, c).transpose(0, 1, 3, 2).reshape(b, tp_ // p, c * p)
+            if mask is not None:
+                # a patch token is valid if ANY of its samples is valid (the
+                # reference passes the sample-rate mask through and crashes)
+                mask = mask.reshape(b, tp_ // p, p).any(axis=-1)
 
         output = self.transformer(
             x,
@@ -245,16 +257,26 @@ class DiffusionTransformer(nn.Module):
         if not batch_cfg:
             # two-pass CFG (halves the activation peak; used for long-form
             # sequences where batch-doubling exceeds HBM)
-            cond_output = self._forward(
+            cond_res = self._forward(
                 x, t, mask=mask, cross_attn_cond=cross_attn_cond,
                 cross_attn_cond_mask=cross_attn_cond_mask,
                 input_concat_cond=input_concat_cond, global_embed=global_embed,
                 prepend_cond=prepend_cond, prepend_cond_mask=prepend_cond_mask,
+                return_info=return_info,
             )
+            info = None
+            cond_output = cond_res
+            if return_info:
+                cond_output, info = cond_res
             null_cross = None
             if cross_attn_cond is not None:
                 null_cross = jnp.zeros_like(cross_attn_cond)
                 if negative_cross_attn_cond is not None:
+                    if negative_cross_attn_mask is not None:
+                        # masked-out negative tokens become the null embed,
+                        # exactly like the batch path below
+                        m = negative_cross_attn_mask.astype(bool)[:, :, None]
+                        negative_cross_attn_cond = jnp.where(m, negative_cross_attn_cond, null_cross)
                     null_cross = negative_cross_attn_cond
             null_prepend = jnp.zeros_like(prepend_cond) if prepend_cond is not None else None
             uncond_output = self._forward(
@@ -268,8 +290,8 @@ class DiffusionTransformer(nn.Module):
                 cond_out_std = cond_output.astype(jnp.float32).std(axis=-1, keepdims=True)
                 out_cfg_std = cfg_output.astype(jnp.float32).std(axis=-1, keepdims=True)
                 rescaled = cfg_output * (cond_out_std / out_cfg_std)
-                return (scale_phi * rescaled + (1.0 - scale_phi) * cfg_output).astype(cfg_output.dtype)
-            return cfg_output
+                cfg_output = (scale_phi * rescaled + (1.0 - scale_phi) * cfg_output).astype(cfg_output.dtype)
+            return (cfg_output, info) if return_info else cfg_output
 
         # CFG batch-doubling (reference dit.py:270-339)
         def dup(a):

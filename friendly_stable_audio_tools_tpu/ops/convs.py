@@ -167,7 +167,7 @@ def _fan_in_uniform(fan_in: int):
 
 
 class Conv1d(nn.Module):
-    """Plain 1-D conv, torch-default init, channels-last."""
+    """Plain 1-D conv, torch-default init (overridable), channels-last."""
 
     in_channels: int
     out_channels: int
@@ -177,13 +177,14 @@ class Conv1d(nn.Module):
     dilation: int = 1
     groups: int = 1
     use_bias: bool = True
+    kernel_init: tp.Optional[tp.Callable] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         fan_in = (self.in_channels // self.groups) * self.kernel_size
         w = self.param(
             "kernel",
-            _fan_in_uniform(fan_in),
+            self.kernel_init or _fan_in_uniform(fan_in),
             (self.kernel_size, self.in_channels // self.groups, self.out_channels),
             jnp.float32,
         )

@@ -71,7 +71,7 @@ class AutoencoderTrainingWrapper:
         self,
         autoencoder: AudioAutoencoder,
         loss_config: dict,
-        optimizer_configs: dict,
+        optimizer_configs: tp.Optional[dict] = None,
         lr: float = 1e-4,
         warmup_steps: int = 0,
         encoder_freeze_on_warmup: bool = False,
@@ -90,6 +90,13 @@ class AutoencoderTrainingWrapper:
         self.latent_mask_ratio = latent_mask_ratio
         self.use_ema = use_ema
         self.loss_config = loss_config
+        if optimizer_configs is None:
+            # reference seeds AdamW defaults from lr when no optimizer config
+            # is given (training/autoencoders.py:62-81)
+            optimizer_configs = {
+                side: {"optimizer": {"type": "AdamW", "config": {"lr": lr, "betas": [0.8, 0.99]}}}
+                for side in ("autoencoder", "discriminator")
+            }
         self.optimizer_configs = optimizer_configs
         self.log_every = (logging_config or {}).get("log_every", 1)
         self.sample_rate = sample_rate
@@ -163,10 +170,7 @@ class AutoencoderTrainingWrapper:
         # wrapper's own params must stay valid
         gen_params = jax.tree_util.tree_map(jnp.copy, self.autoencoder.params)
         example = jnp.zeros((1, example_length, self.autoencoder.out_channels), jnp.float32)
-        if self.disc_type == "dac":
-            disc_params = self.discriminator.init(rng, example, example, method="loss")["params"]
-        else:
-            disc_params = self.discriminator.init(rng, example, example, method="loss")["params"]
+        disc_params = self.discriminator.init(rng, example, example, method="loss")["params"]
         return GANTrainState(
             gen_params=gen_params,
             disc_params=disc_params,
@@ -178,6 +182,13 @@ class AutoencoderTrainingWrapper:
 
     def push_params(self, state: GANTrainState) -> None:
         self.autoencoder.params = state.gen_params
+
+    def _ema_updates(self, step):
+        """ema-pytorch counts its own update() calls — generator steps only.
+        During warmup every step is a gen step; after warmup gen/disc
+        alternate, so gen updates = warmup + ceil((step - warmup) / 2)."""
+        w = self.warmup_steps
+        return jnp.where(step <= w, step, w + (step - w + 1) // 2)
 
     # ---- losses ---------------------------------------------------------
 
@@ -201,12 +212,14 @@ class AutoencoderTrainingWrapper:
             latents = jax.lax.stop_gradient(latents)
             info = jax.tree_util.tree_map(jax.lax.stop_gradient, info)
 
-        loss_info = {"reals_nwc": reals, "encoder_input": encoder_input, "latents": latents}
+        loss_info = {"reals_nwc": reals, "encoder_input": encoder_input}
         loss_info.update(info)
 
         if self.latent_mask_ratio > 0.0:
             mask = jax.random.uniform(k_mask, latents.shape) < self.latent_mask_ratio
             latents = jnp.where(mask, 0.0, latents)
+        # reference logs latents.std() AFTER masking (:265)
+        loss_info["latents"] = latents
 
         decoded = self.autoencoder.module.apply({"params": gen_params}, latents, method="decode")
         loss_info["decoded_nwc"] = decoded
@@ -223,18 +236,23 @@ class AutoencoderTrainingWrapper:
             loss_info["reals_right"] = reals_bct[:, 1:2, :]
 
         if self.teacher_model is not None:
+            # the reference computes ALL distillation decodes under
+            # torch.no_grad() (training/autoencoders.py:207-212): the
+            # cross-decode loss terms are metrics-only and must not leak
+            # gradients through either decoder
             t_latents = self.teacher_model.module.apply(
                 {"params": self.teacher_model.params}, encoder_input, method="encode")
             t_latents = jax.lax.stop_gradient(t_latents)
             t_decoded = self.teacher_model.module.apply(
                 {"params": self.teacher_model.params}, t_latents, method="decode")
             own_teacher = self.teacher_model.module.apply(
-                {"params": self.teacher_model.params}, latents, method="decode")
-            teacher_own = self.autoencoder.module.apply({"params": gen_params}, t_latents, method="decode")
+                {"params": self.teacher_model.params}, jax.lax.stop_gradient(latents), method="decode")
+            teacher_own = self.autoencoder.module.apply(
+                {"params": jax.lax.stop_gradient(gen_params)}, t_latents, method="decode")
             loss_info["teacher_latents"] = t_latents
             loss_info["teacher_decoded"] = jax.lax.stop_gradient(t_decoded).transpose(0, 2, 1)
-            loss_info["own_latents_teacher_decoded"] = own_teacher.transpose(0, 2, 1)
-            loss_info["teacher_latents_own_decoded"] = teacher_own.transpose(0, 2, 1)
+            loss_info["own_latents_teacher_decoded"] = jax.lax.stop_gradient(own_teacher).transpose(0, 2, 1)
+            loss_info["teacher_latents_own_decoded"] = jax.lax.stop_gradient(teacher_own).transpose(0, 2, 1)
 
         return loss_info, decoded
 
@@ -266,10 +284,17 @@ class AutoencoderTrainingWrapper:
 
                 (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.gen_params)
                 updates, new_opt = self.gen_tx.update(grads, state.gen_opt_state, state.gen_params)
+                if freeze_encoder:
+                    # stop_gradient zeroes the GRADS, but AdamW's decoupled
+                    # weight decay still shrinks "frozen" weights through the
+                    # update; torch skips .grad=None params entirely — zero
+                    # the encoder's updates to match
+                    updates = {k: (jax.tree_util.tree_map(jnp.zeros_like, v) if k == "encoder" else v)
+                               for k, v in updates.items()}
                 new_gen = optax.apply_updates(state.gen_params, updates)
                 new_ema = state.ema_params
                 if self.use_ema:
-                    new_ema = ema_update(state.ema_params, new_gen, state.step)
+                    new_ema = ema_update(state.ema_params, new_gen, self._ema_updates(state.step))
                 new_state = state.replace(
                     gen_params=new_gen, gen_opt_state=new_opt, ema_params=new_ema, step=state.step + 1)
                 return new_state, {"loss": loss, **aux}
@@ -309,11 +334,22 @@ class AutoencoderTrainingWrapper:
         return {"reals": jnp.asarray(np.asarray(reals_bct).transpose(0, 2, 1))}
 
     def export_model(self, path: str, state: tp.Optional[GANTrainState] = None, use_safetensors: bool = True):
-        """EMA-preferring export of the autoencoder only (reference :280-286)."""
+        """EMA-preferring export of the autoencoder only (reference :280-286).
+        use_safetensors=False writes a torch-loadable pickle like the
+        reference (torch.save({'state_dict': flat}))."""
         from ..models.utils import save_ckpt_state_dict
 
         if state is not None:
             params = state.ema_params if (self.use_ema and state.ema_params is not None) else state.gen_params
         else:
             params = self.autoencoder.params
+        if not use_safetensors:
+            import torch
+
+            from ..utils.common import _flatten_dict
+
+            flat = {k: torch.from_numpy(np.ascontiguousarray(np.asarray(v)))
+                    for k, v in _flatten_dict(params).items()}
+            torch.save({"state_dict": flat}, path)
+            return
         save_ckpt_state_dict(params, path)

@@ -30,6 +30,23 @@ def _hann_window(n: int) -> np.ndarray:
     return 0.5 * (1 - np.cos(2 * np.pi * np.arange(n) / n))
 
 
+def stft_complex(x: jnp.ndarray, fft_size: int, hop_size: int, win_length: int,
+                 window: jnp.ndarray) -> jnp.ndarray:
+    """torch.stft-compatible complex STFT. x: [N, T] -> [N, fft//2+1, frames]."""
+    pad = fft_size // 2
+    x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+    t = x.shape[-1]
+    n_frames = 1 + (t - fft_size) // hop_size
+    idx = np.arange(fft_size)[None, :] + hop_size * np.arange(n_frames)[:, None]
+    frames = x[:, idx]
+    if win_length < fft_size:
+        lpad = (fft_size - win_length) // 2
+        win = jnp.pad(window, (lpad, fft_size - win_length - lpad))
+    else:
+        win = window
+    return jnp.fft.rfft(frames * win, axis=-1).transpose(0, 2, 1)
+
+
 def stft_mag(x: jnp.ndarray, fft_size: int, hop_size: int, win_length: int,
              window: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     """torch.stft-compatible magnitude. x: [N, T] -> [N, fft//2+1, frames]."""
@@ -91,8 +108,13 @@ class FIRFilter:
         self.taps = jnp.asarray(taps)
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        """x: [N, T] -> filtered [N, T] (cross-correlation like torch conv1d)."""
-        k = self.taps[::-1]  # torch conv1d is cross-correlation; lax conv flips
+        """x: [N, T] -> filtered [N, T].
+
+        lax.conv_general_dilated is CROSS-correlation exactly like
+        torch.conv1d (verified empirically) — no kernel flip. The previous
+        flip mirrored asymmetric filters ("hp"/"fd"); the shipped "aw" taps
+        are symmetric, so A-weighting was unaffected."""
+        k = self.taps
         return jax.lax.conv_general_dilated(
             x[:, :, None], k[:, None, None],
             window_strides=(1,), padding=[(self.pad, self.pad)],
@@ -204,6 +226,13 @@ class STFTLoss:
         **kwargs,
     ):
         assert window == "hann_window", "only hann windows are used by shipped configs"
+        if reduction != "mean":
+            raise NotImplementedError(
+                f"STFTLoss reduction={reduction!r}: only 'mean' is implemented "
+                "(shipped configs use it); refusing to silently apply a "
+                "different reduction than configured")
+        self.log_eps = float(kwargs.pop("log_eps", 0.0))
+        self.log_fac = float(kwargs.pop("log_fac", 1.0))
         self.fft_size, self.hop_size, self.win_length = fft_size, hop_size, win_length
         self.window = jnp.asarray(_hann_window(win_length), jnp.float32)
         self.w_sc, self.w_log_mag, self.w_lin_mag, self.w_phs = w_sc, w_log_mag, w_lin_mag, w_phs
@@ -245,11 +274,19 @@ class STFTLoss:
             alpha = (x_mag * y_mag).sum((-2, -1)) / jnp.maximum((y_mag**2).sum((-2, -1)), 1e-12)
             y_mag = y_mag * alpha[:, None, None]
         sc = spectral_convergence(x_mag, y_mag) if self.w_sc else 0.0
-        logm = stft_magnitude_loss(x_mag, y_mag, log=True, distance=self.mag_distance) if self.w_log_mag else 0.0
+        logm = stft_magnitude_loss(x_mag, y_mag, log=True, distance=self.mag_distance,
+                                   log_eps=self.log_eps, log_fac=self.log_fac) if self.w_log_mag else 0.0
         linm = stft_magnitude_loss(x_mag, y_mag, log=False, distance=self.mag_distance) if self.w_lin_mag else 0.0
-        loss = self.w_sc * sc + self.w_log_mag * logm + self.w_lin_mag * linm
+        phs = 0.0
+        if self.w_phs:
+            xs = stft_complex(x, self.fft_size, self.hop_size, self.win_length, self.window)
+            ys = stft_complex(y, self.fft_size, self.hop_size, self.win_length, self.window)
+            x_phs = jnp.arctan2(xs.imag, xs.real)
+            y_phs = jnp.arctan2(ys.imag, ys.real)
+            phs = jnp.square(x_phs - y_phs).mean()
+        loss = self.w_sc * sc + self.w_log_mag * logm + self.w_lin_mag * linm + self.w_phs * phs
         if self.output == "full":
-            return loss, sc, logm, linm, 0.0
+            return loss, sc, logm, linm, phs
         return loss
 
 

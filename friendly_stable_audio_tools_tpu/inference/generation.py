@@ -115,6 +115,12 @@ def generate_diffusion_uncond(
         init_latent = jnp.repeat(prepared, batch_size, axis=0)
         sampler_kwargs["sigma_max"] = init_noise_level
 
+    if model.diffusion_objective == "rectified_flow":
+        # sample_rf consumes only sigma_max; k-sampler kwargs would leak into
+        # model_fn via **extra_args and crash (same pop as the cond path)
+        for k_ in ("sigma_min", "sampler_type", "rho"):
+            sampler_kwargs.pop(k_, None)
+
     skey = _static_sampler_key(sampler_kwargs)
     pt_in_jit = _pretransform_in_jit(model) and not return_latents
 
@@ -312,6 +318,12 @@ def build_mask(sample_size: int, mask_args: dict) -> jnp.ndarray:
     maskend = math.ceil(mask_args["maskend"] / 100.0 * sample_size)
     softnessL = round(mask_args["softnessL"] / 100.0 * sample_size)
     softnessR = round(mask_args["softnessR"] / 100.0 * sample_size)
+    # clamp the soft edges to the masked span: softness larger than the span
+    # (reachable from the UI sliders) produced an empty slice assignment and
+    # crashed (the reference has the same defect)
+    span = max(maskend - maskstart, 0)
+    softnessL = min(softnessL, span)
+    softnessR = min(softnessR, span - softnessL if softnessL else span)
     marination = mask_args["marination"]
 
     def hann(n):

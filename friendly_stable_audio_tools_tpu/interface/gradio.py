@@ -25,8 +25,21 @@ SAMPLE_RATE = 44100
 SAMPLE_SIZE = 2097152
 
 
+def _norm_gr_audio(data):
+    """gradio audio array -> float32 [C, T] in [-1, 1]. gr.Audio delivers
+    int16 PCM by default; the int check must happen BEFORE the float cast
+    (a post-cast dtype check is always 'f' and quiet int16 clips would skip
+    normalization)."""
+    arr = np.asarray(data)
+    is_int = arr.dtype.kind in ("i", "u")
+    arr = arr.astype(np.float32)
+    if is_int or np.abs(arr).max() > 2:
+        arr = arr / 32768.0
+    return arr.T if arr.ndim == 2 else arr[None, :]
+
+
 def load_model(model_config=None, model_ckpt_path=None, pretrained_name=None,
-               pretransform_ckpt_path=None, device=None):
+               pretransform_ckpt_path=None, device=None, model_half=False):
     """reference gradio.py:25-56."""
     global MODEL, MODEL_CONFIG, SAMPLE_RATE, SAMPLE_SIZE
     import jax
@@ -44,9 +57,6 @@ def load_model(model_config=None, model_ckpt_path=None, pretrained_name=None,
         MODEL_CONFIG = model_config
         MODEL = create_model_from_config(model_config, init_rng=jax.random.PRNGKey(0))
         if model_ckpt_path:
-            from ..models.utils import load_ckpt_state_dict
-            from ..utils.common import copy_state_dict
-
             from ..models.utils import load_unwrapped_checkpoint
 
             load_unwrapped_checkpoint(MODEL, model_ckpt_path)
@@ -57,6 +67,17 @@ def load_model(model_config=None, model_ckpt_path=None, pretrained_name=None,
 
         MODEL.pretransform.model.params = copy_state_dict(
             MODEL.pretransform.model.params, load_ckpt_state_dict(pretransform_ckpt_path))
+
+    if model_half:
+        import jax.numpy as jnp
+
+        # bfloat16 on TPU (fp16 has no hardware advantage there); mirrors the
+        # reference's model.half() memory intent
+        cast = lambda t: jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16) if hasattr(a, "astype") and a.dtype == np.float32 else a, t)
+        MODEL.params = cast(MODEL.params)
+        if getattr(MODEL, "pretransform", None) is not None and getattr(MODEL.pretransform, "model", None) is not None:
+            MODEL.pretransform.model.params = cast(MODEL.pretransform.model.params)
 
     SAMPLE_RATE = MODEL_CONFIG["sample_rate"]
     SAMPLE_SIZE = MODEL_CONFIG["sample_size"]
@@ -85,11 +106,7 @@ def generate_cond(prompt, negative_prompt=None, seconds_start=0, seconds_total=3
     init = None
     if use_init and init_audio is not None:
         in_sr, audio = init_audio
-        audio = np.asarray(audio, np.float32)
-        if audio.dtype.kind == "i" or np.abs(audio).max() > 2:
-            audio = audio / 32768.0
-        audio = audio.T if audio.ndim == 2 else audio[None, :]
-        init = (in_sr, audio)
+        init = (in_sr, _norm_gr_audio(audio))
 
     mask_args = None
     if mask_maskstart is not None:
@@ -127,20 +144,45 @@ def generate_cond(prompt, negative_prompt=None, seconds_start=0, seconds_total=3
     )
     from ..utils.audio_utils import float_to_int16_audio
 
-    out_audio = (SAMPLE_RATE, float_to_int16_audio(np.asarray(audio)[0]).T)
+    # reference flattens the whole batch into time ("b d n -> d (b n)")
+    a = np.asarray(audio)
+    flat_audio = a.transpose(1, 0, 2).reshape(a.shape[1], -1)
+    out_audio = (SAMPLE_RATE, float_to_int16_audio(flat_audio).T)
     if preview_every is not None:
         from ..training.viz import audio_spectrogram_image
 
+        # host callbacks may still be in flight after the output transfer;
+        # drain them so trailing previews are not dropped
+        try:
+            jax.effects_barrier()
+        except Exception:
+            pass
         preview_images = []
         for step, sigma, denoised in preview_latents:  # [B, L, C] latents
             if MODEL.pretransform is not None:
                 denoised = np.asarray(MODEL.pretransform.decode_nwc(denoised))
             # [B, T, C] -> [C, B*T] like the reference's "b d n -> d (b n)"
             flat = np.clip(denoised.transpose(2, 0, 1).reshape(denoised.shape[-1], -1), -1, 1)
-            img = audio_spectrogram_image(flat, sample_rate=SAMPLE_RATE)
-            preview_images.append((img, f"Step {step} sigma={sigma:.3f}"))
+            img = _fig_to_array(audio_spectrogram_image(flat, sample_rate=SAMPLE_RATE))
+            if img is not None:
+                preview_images.append((img, f"Step {step} sigma={sigma:.3f}"))
         return out_audio, preview_images
     return out_audio
+
+
+def _fig_to_array(fig):
+    """matplotlib Figure -> RGB np.ndarray (gr.Gallery cannot render Figure
+    objects — it raises on them, failing the whole generation request)."""
+    if fig is None:
+        return None
+    import matplotlib
+
+    fig.canvas.draw()
+    buf = np.asarray(fig.canvas.buffer_rgba())[..., :3].copy()
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
+    return buf
 
 
 def generate_uncond(steps=250, seed=-1, sampler_type="dpmpp-3m-sde", sigma_min=0.3,
@@ -152,9 +194,7 @@ def generate_uncond(steps=250, seed=-1, sampler_type="dpmpp-3m-sde", sigma_min=0
     init = None
     if use_init and init_audio is not None:
         in_sr, audio = init_audio
-        audio = np.asarray(audio, np.float32)
-        audio = audio.T if audio.ndim == 2 else audio[None, :]
-        init = (in_sr, audio)
+        init = (in_sr, _norm_gr_audio(audio))
     audio = generate_diffusion_uncond(
         MODEL, steps=steps, batch_size=batch_size, sample_size=SAMPLE_SIZE, seed=seed,
         sampler_type=sampler_type, sigma_min=sigma_min, sigma_max=sigma_max,
@@ -162,7 +202,8 @@ def generate_uncond(steps=250, seed=-1, sampler_type="dpmpp-3m-sde", sigma_min=0
     )
     from ..utils.audio_utils import float_to_int16_audio
 
-    return (SAMPLE_RATE, float_to_int16_audio(np.asarray(audio)[0]).T)
+    a = np.asarray(audio)
+    return (SAMPLE_RATE, float_to_int16_audio(a.transpose(1, 0, 2).reshape(a.shape[1], -1)).T)
 
 
 def generate_lm(temperature=1.0, top_p=0.95, top_k=0, batch_size=1):
@@ -177,7 +218,8 @@ def generate_lm(temperature=1.0, top_p=0.95, top_k=0, batch_size=1):
     )
     from ..utils.audio_utils import float_to_int16_audio
 
-    return (SAMPLE_RATE, float_to_int16_audio(np.asarray(audio)[0]).T)
+    a = np.asarray(audio)
+    return (SAMPLE_RATE, float_to_int16_audio(a.transpose(1, 0, 2).reshape(a.shape[1], -1)).T)
 
 
 def process_audio(audio, latent_noise: float = 0.0, n_quantizers: int = 0):
@@ -185,12 +227,10 @@ def process_audio(audio, latent_noise: float = 0.0, n_quantizers: int = 0):
     import jax
 
     in_sr, data = audio
-    data = np.asarray(data, np.float32)
-    if data.dtype.kind == "i" or np.abs(data).max() > 2:
-        data = data / 32768.0
-    data = data.T if data.ndim == 2 else data[None, :]
+    data = _norm_gr_audio(data)
     batch = MODEL.preprocess_audio_for_encoder(data, in_sr)
-    latents = MODEL.encode_audio(batch, chunked=False)
+    enc_kwargs = {"n_quantizers": int(n_quantizers)} if n_quantizers else {}
+    latents = MODEL.encode_audio(batch, chunked=False, **enc_kwargs)
     if latent_noise > 0:
         latents = latents + latent_noise * jax.random.normal(jax.random.PRNGKey(0), latents.shape)
     out = MODEL.decode_audio(latents, chunked=False)
@@ -216,7 +256,8 @@ def create_ui(model_config=None, ckpt_path=None, pretrained_name=None,
             "to use the web interface"
         ) from e
 
-    load_model(model_config, ckpt_path, pretrained_name, pretransform_ckpt_path)
+    load_model(model_config, ckpt_path, pretrained_name, pretransform_ckpt_path,
+               model_half=model_half)
     model_type = MODEL_CONFIG["model_type"]
 
     if model_type in ("diffusion_cond", "diffusion_cond_inpaint"):
@@ -305,8 +346,7 @@ def create_ui(model_config=None, ckpt_path=None, pretrained_name=None,
 
             def stereoize(audio, steps):
                 in_sr, data = audio
-                data = np.asarray(data, np.float32)
-                data = data.T if data.ndim == 2 else data[None, :]
+                data = _norm_gr_audio(data)
                 result = MODEL.stereoize(data[None], in_sr, steps=int(steps))
                 from ..utils.audio_utils import float_to_int16_audio
 

@@ -41,7 +41,7 @@ class WNConv2d(nn.Module):
     padding: tp.Tuple[int, int] = (0, 0)
     dilation: tp.Tuple[int, int] = (1, 1)
     use_bias: bool = True
-    act: bool = True  # leaky-relu epilogue (DAC's WNConv2d has act built in)
+    act: bool = False  # optional leaky-relu epilogue (unused by call sites)
 
     @nn.compact
     def __call__(self, x):
@@ -95,6 +95,8 @@ def _stft_realimag(x: jnp.ndarray, n_fft: int, hop: int, win_length: int) -> jnp
         lpad = (n_fft - win_length) // 2
         window = jnp.pad(window, (lpad, n_fft - win_length - lpad))
     spec = jnp.fft.rfft(frames * window, n=n_fft, axis=-1)
+    # torchaudio Spectrogram(normalized=True) semantics (encodec.msstftd)
+    spec = spec / jnp.sqrt(jnp.sum(window.astype(jnp.float32) ** 2))
     return jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)  # [N, fr, freq, 2]
 
 
@@ -110,6 +112,7 @@ class DiscriminatorSTFT(nn.Module):
     win_length: int = 1024
     dilations: tp.Sequence[int] = (1, 2, 4)
     filters_scale: int = 1
+    max_filters: int = 1024
 
     @nn.compact
     def __call__(self, x):  # x: [B, T, C]
@@ -118,21 +121,27 @@ class DiscriminatorSTFT(nn.Module):
         # -> [B, frames, freq, 2*C]
         z = z.reshape(b, c, z.shape[1], z.shape[2], 2).transpose(0, 2, 3, 1, 4).reshape(b, z.shape[1], z.shape[2], 2 * c)
         fmap = []
-        h = WNConv2d(2 * c, self.filters, (3, 9), padding=(1, 4), act=False, name="conv_in")(z)
-        h = jax.nn.leaky_relu(h, 0.2)
+        # encodec.msstftd channel schedule: min(filters_scale**(i+1)*filters,
+        # max_filters) — CONSTANT at the default filters_scale=1 (the old
+        # doubling schedule built a different, bigger discriminator) — and
+        # LeakyReLU(0.3) activations like encodec
+        slope = 0.3
+        h = WNConv2d(2 * c, self.filters, (3, 9), padding=(1, 4), name="conv_in")(z)
+        h = jax.nn.leaky_relu(h, slope)
         fmap.append(h)
         ch = self.filters
         for i, d in enumerate(self.dilations):
-            out_ch = min(ch * 2, 1024)
+            out_ch = min(self.filters_scale ** (i + 1) * self.filters, self.max_filters)
             h = WNConv2d(ch, out_ch, (3, 9), stride=(1, 2), dilation=(d, 1),
-                         padding=(d, 4), act=False, name=f"conv{i}")(h)
-            h = jax.nn.leaky_relu(h, 0.2)
+                         padding=(d, 4), name=f"conv{i}")(h)
+            h = jax.nn.leaky_relu(h, slope)
             fmap.append(h)
             ch = out_ch
-        h = WNConv2d(ch, ch, (3, 3), padding=(1, 1), act=False, name="conv_mid")(h)
-        h = jax.nn.leaky_relu(h, 0.2)
+        out_mid = min(self.filters_scale ** (len(self.dilations) + 1) * self.filters, self.max_filters)
+        h = WNConv2d(ch, out_mid, (3, 3), padding=(1, 1), name="conv_mid")(h)
+        h = jax.nn.leaky_relu(h, slope)
         fmap.append(h)
-        logits = WNConv2d(ch, self.out_channels, (3, 3), padding=(1, 1), act=False, name="conv_post")(h)
+        logits = WNConv2d(out_mid, self.out_channels, (3, 3), padding=(1, 1), name="conv_post")(h)
         return logits, fmap
 
 
@@ -203,14 +212,23 @@ class SharedDiscriminatorConvNet(nn.Module):
                 h = WNConv1d(channels[i], int(channels[i + 1]), self.kernel_size,
                              stride=self.stride, padding=pad, name=f"conv{i}")(h)
             else:
-                h = WNConv2d(int(channels[i]), int(channels[i + 1]), (self.kernel_size, 1),
-                             stride=(self.stride, 1), padding=(pad, 0), act=False, name=f"conv{i}")(h)
+                # reference passes the int kernel_size to nn.Conv2d: SQUARE
+                # (15,15) kernels with stride/pad on BOTH axes — the period
+                # axis is convolved and downsampled too
+                h = WNConv2d(int(channels[i]), int(channels[i + 1]),
+                             (self.kernel_size, self.kernel_size),
+                             stride=(self.stride, self.stride),
+                             padding=(pad, pad), name=f"conv{i}")(h)
             features.append(h)
             h = jax.nn.silu(h)
+        # the reference's final projection is a PLAIN conv, outside the
+        # weight_norm normalization() wrapper (:108)
         if self.dims == 1:
-            h = WNConv1d(int(channels[-1]), self.out_size, 1, name="conv_out")(h)
+            from ..ops.convs import Conv1d as _PlainConv1d
+
+            h = _PlainConv1d(int(channels[-1]), self.out_size, 1, name="conv_out")(h)
         else:
-            h = WNConv2d(int(channels[-1]), self.out_size, (1, 1), act=False, name="conv_out")(h)
+            h = nn.Conv(self.out_size, (1, 1), padding="VALID", name="conv_out")(h)
         features.append(h)
         score = h.reshape(h.shape[0], -1).mean(-1)
         return score, features
@@ -284,10 +302,12 @@ class OobleckDiscriminator(nn.Module):
         score_real, score_fake = score[:b], score[b:]
         dis_loss, gen_loss = get_hinge_losses(score_real.astype(jnp.float32), score_fake.astype(jnp.float32))
         fm = 0.0
+        # reference sums per-feature mean-abs-diffs WITHOUT dividing by the
+        # feature count (its /len(scale_real) divides by the batch dim of one
+        # tensor, which the per-sample means already cancel)
         for f in features:
             fr, ff = f[:b], f[b:]
             fm = fm + jnp.mean(jnp.abs(fr.astype(jnp.float32) - ff.astype(jnp.float32)))
-        fm = fm / len(features)
         return dis_loss, gen_loss, fm
 
 
@@ -305,9 +325,10 @@ class MPD(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, t, c = x.shape
-        pad = (self.period - t % self.period) % self.period
-        if pad:
-            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)), mode="reflect")
+        # reference pad_to_period always pads period - t % period — a FULL
+        # extra period when t is already aligned (:307-343)
+        pad = self.period - t % self.period
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)), mode="reflect")
         x = x.reshape(b, -1, self.period, c)
         fmap = []
         chans = [c, 32, 128, 512, 1024]

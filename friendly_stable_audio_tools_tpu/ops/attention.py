@@ -70,6 +70,10 @@ def scaled_dot_product_attention(
         implementation = "pallas" if use_pallas else "xla"
 
     if implementation == "pallas":
+        if mask is not None:
+            # the flash kernel has no arbitrary-mask support; silently
+            # dropping the mask would attend over masked positions
+            return _xla_attention(q, k, v, mask=mask, causal=causal, kv_len=kv_len)
         try:
             from .pallas.flash_attention import flash_attention
         except ImportError:

@@ -52,12 +52,10 @@ def fast_scandir(dir: str, ext: tp.List[str], keywords: tp.Optional[tp.List[str]
                 elif f.is_file():
                     is_hidden = os.path.basename(f.path).startswith(".")
                     has_ext = os.path.splitext(f.name)[1].lower() in ext
-                    has_keyword = True
-                    has_banned = False
-                    if keywords:
-                        name_lower = f.name.lower()
-                        has_keyword = any(k in name_lower for k in keywords)
-                        has_banned = any(b in name_lower for b in banned_words)
+                    name_lower = f.name.lower()
+                    has_keyword = any(k in name_lower for k in keywords) if keywords else True
+                    # PaxHeader/__MACOSX junk is excluded regardless of keywords
+                    has_banned = any(b in name_lower for b in banned_words)
                     if has_ext and not is_hidden and has_keyword and not has_banned:
                         files.append(f.path)
             except Exception:
@@ -241,8 +239,16 @@ def audio_metadata_collation(samples):
     return audios, metas
 
 
+class _WorkerError:
+    """Marker carrying a prefetch-worker exception to the consumer thread."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 class DataLoader:
-    """Minimal shuffling/batching loader with background thread prefetch."""
+    """Minimal shuffling/batching loader with background thread prefetch;
+    `num_workers` decode threads per batch. One epoch per __iter__."""
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True, drop_last: bool = True,
                  collate_fn=audio_metadata_collation, num_workers: int = 2, prefetch: int = 4,
@@ -264,46 +270,63 @@ class DataLoader:
         return min(n, self.epoch_steps) if self.epoch_steps else n
 
     def _index_stream(self):
+        """Index batches for ONE epoch (iteration terminates; callers loop
+        epochs — Trainer.fit wraps the loader in its own while loop)."""
         n = len(self.dataset)
         if n == 0:
             raise ValueError(
                 "DataLoader: dataset is empty (no decodable samples found)")
         if n < self.batch_size and self.drop_last:
             # A dataset smaller than one batch with drop_last would yield an
-            # EMPTY epoch — the infinite epoch loop then spins forever
-            # producing nothing and iteration deadlocks. Tiny smoke datasets
-            # (example/dataset has 2 files) instead oversample with
-            # replacement; random_crop makes repeated files distinct samples.
-            # (drop_last=False loaders keep their deterministic partial-batch
-            # epoch — they never deadlocked.)
+            # EMPTY epoch. Tiny smoke datasets (example/dataset has 2 files)
+            # instead oversample with replacement; random_crop makes repeated
+            # files distinct samples. (drop_last=False loaders keep their
+            # deterministic partial-batch epoch.)
             logging.warning(
                 "Dataset has %d samples < batch_size %d: sampling with "
                 "replacement to fill batches.", n, self.batch_size,
             )
-            while True:
-                yield [self._rng.randrange(n) for _ in range(self.batch_size)]
-        while True:
-            order = list(range(n))
-            if self.shuffle:
-                self._rng.shuffle(order)
-            tail = len(order) % self.batch_size
-            if self.drop_last and tail:
-                order = order[: len(order) - tail]
-            for i in range(0, len(order), self.batch_size):
-                yield order[i : i + self.batch_size]
+            yield [self._rng.randrange(n) for _ in range(self.batch_size)]
+            return
+        order = list(range(n))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        tail = len(order) % self.batch_size
+        if self.drop_last and tail:
+            order = order[: len(order) - tail]
+        for i in range(0, len(order), self.batch_size):
+            yield order[i : i + self.batch_size]
 
     def __iter__(self):
+        import concurrent.futures
+
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
-        stream = self._index_stream()
+
+        def safe_put(item) -> bool:
+            # bounded put that respects `stop`: a worker stuck forever in
+            # q.put on an abandoned iterator would leak the thread + batches
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
-            for idxs in stream:
-                if stop.is_set():
-                    return
-                batch = self.collate_fn([self.dataset[i] for i in idxs])
-                q.put(batch)
-            q.put(None)
+            try:
+                with concurrent.futures.ThreadPoolExecutor(self.num_workers) as pool:
+                    for idxs in self._index_stream():
+                        if stop.is_set():
+                            return
+                        items = list(pool.map(self.dataset.__getitem__, idxs))
+                        if not safe_put(self.collate_fn(items)):
+                            return
+            except BaseException as e:  # propagate: a dead silent worker hangs q.get
+                safe_put(_WorkerError(e))
+                return
+            safe_put(None)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -315,6 +338,8 @@ class DataLoader:
                 batch = q.get()
                 if batch is None:
                     break
+                if isinstance(batch, _WorkerError):
+                    raise batch.exc
                 yield batch
                 steps += 1
         finally:
@@ -425,7 +450,7 @@ class S3WebDataLoader:
     def __init__(self, datasets: tp.List[S3DatasetConfig], batch_size, sample_size,
                  sample_rate=48000, num_workers=8, epoch_steps=1000, random_crop=True,
                  force_channels="stereo", augment_phase=True, shard_urls=None, seed=0,
-                 **kwargs):
+                 shuffle_buffer: int = 256, **kwargs):
         self.datasets = datasets
         self.batch_size = batch_size
         self.sample_size = sample_size
@@ -438,16 +463,24 @@ class S3WebDataLoader:
         self.encoding = Stereo() if force_channels == "stereo" else Mono()
         self.augs = PhaseFlipper() if augment_phase else (lambda x: x)
         self._rng = random.Random(seed)
+        self.shuffle_buffer = max(1, int(shuffle_buffer))
 
+        # shards carry their SOURCE dataset so per-dataset custom_metadata_fn
+        # applies only to that dataset's samples (applying every dataset's fn
+        # to every sample mislabels or drops cross-dataset samples)
         if shard_urls is None:
-            shard_urls = []
+            shards = []
             for ds in datasets:
-                shard_urls.extend(get_s3_shard_urls(ds.s3_path, ds.profile))
-        assert shard_urls, "no .tar shards found"
-        self.shard_urls = list(shard_urls)
+                shards.extend((u, ds) for u in get_s3_shard_urls(ds.s3_path, ds.profile))
+        else:  # explicit url list (tests): attribute to the sole dataset if any
+            only = datasets[0] if len(datasets) == 1 else None
+            shards = [(u, only) for u in shard_urls]
+        assert shards, "no .tar shards found"
+        self.shards = shards
+        self.shard_urls = [u for u, _ in shards]
         self.data_loader = self  # API parity with the wds-based layout
 
-    def preprocess(self, sample):
+    def preprocess(self, sample, ds: tp.Optional[S3DatasetConfig] = None):
         from ..utils.audio_utils import is_silence
 
         found_key = None
@@ -471,9 +504,11 @@ class S3WebDataLoader:
             "seconds_total": seconds_total,
             "padding_mask": padding_mask,
         })
-        for ds in self.datasets:
-            if ds.custom_metadata_fn is not None:
-                info.update(ds.custom_metadata_fn(info, audio))
+        fns = ([ds.custom_metadata_fn] if ds is not None
+               else [d.custom_metadata_fn for d in self.datasets])
+        for fn in fns:
+            if fn is not None:
+                info.update(fn(info, audio))
         if info.get("__reject__"):
             return None
         info.setdefault("prompt", "This is a dummy prompt")
@@ -481,18 +516,29 @@ class S3WebDataLoader:
 
     def _sample_stream(self):
         """Infinite stream: random shard (with replacement, like
-        wds.ResampledShards), warn-and-continue on shard/sample errors."""
+        wds.ResampledShards), warn-and-continue on shard/sample errors, and a
+        reservoir shuffle buffer (the wds pipeline's .shuffle — without it
+        every batch is batch_size CONSECUTIVE items of one shard)."""
+        buf: list = []
         while True:
-            url = self._rng.choice(self.shard_urls)
+            url, ds = self._rng.choice(self.shards)
             try:
                 for sample in tar_shard_samples(url):
                     try:
-                        out = self.preprocess(sample)
+                        out = self.preprocess(sample, ds)
                     except Exception as e:  # warn-and-continue (reference :338-341)
                         logging.warning(f"sample error in {url}: {e!r}")
                         continue
-                    if out is not None:
+                    if out is None:
+                        continue
+                    if self.shuffle_buffer <= 1:
                         yield out
+                        continue
+                    buf.append(out)
+                    if len(buf) >= self.shuffle_buffer:
+                        i = self._rng.randrange(len(buf))
+                        buf[i], buf[-1] = buf[-1], buf[i]
+                        yield buf.pop()
             except Exception as e:
                 logging.warning(f"shard error for {url}: {e!r}")
 
@@ -535,12 +581,26 @@ def create_dataloader_from_config(dataset_config, batch_size: int, sample_size: 
     if dataset_type == "audio_dir":
         audio_dir_configs = dataset_config.get("datasets", None)
         assert audio_dir_configs is not None, 'Directory configuration must be specified in "dataset".'
-        custom_metadata_fn = load_custom_metadata_fn(dataset_config)
+        # custom_metadata_module may live at the top level OR per-dataset
+        # entry (docs/datasets.md documents the per-entry placement; the s3
+        # branch reads it per-entry too). Per-entry wins for its own paths.
+        top_fn = load_custom_metadata_fn(dataset_config)
+        per_dir = []
         training_dirs = []
         for cfg in audio_dir_configs:
             path = cfg.get("path", None)
             assert path is not None, "Path must be set for local audio directory configuration"
             training_dirs.append(path)
+            per_dir.append((path, load_custom_metadata_fn(cfg)))
+
+        custom_metadata_fn = top_fn
+        dir_fns = [(p_, f_) for p_, f_ in per_dir if f_ is not None]
+        if dir_fns:
+            def custom_metadata_fn(info, audio, _fns=dir_fns, _top=top_fn):
+                fn = next((f_ for p_, f_ in _fns
+                           if str(info.get("path", "")).startswith(str(p_))), _top)
+                return fn(info, audio) if fn is not None else {}
+
         train_set = AudioFolderDataset(
             training_dirs,
             sample_rate=sample_rate,

@@ -23,6 +23,29 @@ from ..utils.common import get_rank
 from .viz import audio_spectrogram_image, pca_point_cloud, tokens_spectrogram_image
 
 
+def _swap_conditioner_params(conditioner, state):
+    """Install trained conditioner params from the train state for the demo
+    (the wrappers' own .params are only synced by push_params at the END of
+    fit — without this, mid-training demos pair trained model weights with
+    epoch-0 conditioner weights). Returns a restore dict."""
+    trained = None
+    if isinstance(getattr(state, "params", None), dict):
+        trained = state.params.get("conditioner")
+    if conditioner is None or not trained:
+        return {}
+    old = {}
+    for cid, p in trained.items():
+        if cid in conditioner.conditioners:
+            old[cid] = conditioner.conditioners[cid].params
+            conditioner.conditioners[cid].params = jax.device_get(p)
+    return old
+
+
+def _restore_conditioner_params(conditioner, old):
+    for cid, p in old.items():
+        conditioner.conditioners[cid].params = p
+
+
 class DemoCallback:
     def __init__(self, demo_every: int = 2000):
         self.demo_every = demo_every
@@ -136,6 +159,7 @@ class DiffusionCondDemoCallback(DemoCallback):
         old = model.params
         model.params = jax.device_get(
             state.ema_params if getattr(state, "ema_params", None) is not None else state.params["model"])
+        old_cond = _swap_conditioner_params(model.conditioner, state)
         try:
             out = self._out_dir(trainer, step)
             # pretransform round-trip sanity check on a real batch
@@ -162,6 +186,7 @@ class DiffusionCondDemoCallback(DemoCallback):
                                              self.sample_rate, step=step)
         finally:
             model.params = old
+            _restore_conditioner_params(model.conditioner, old_cond)
 
 
 class DiffusionAutoencoderDemoCallback(DemoCallback):
@@ -201,7 +226,10 @@ class DiffusionAutoencoderDemoCallback(DemoCallback):
         fig = audio_spectrogram_image(recon[0], self.sample_rate)
         if fig is not None:
             trainer.logger.log_image("demo/diffae_recon_melspec", fig, step=step)
-        pc = pca_point_cloud(np.asarray(latents).transpose(0, 2, 1))
+        # diffae.encode returns [B, latent_dim, L] — already the [B, C, T]
+        # layout pca_point_cloud expects (the old transpose ran PCA over the
+        # wrong axis, producing garbage point clouds)
+        pc = pca_point_cloud(np.asarray(latents))
         np.save(os.path.join(out, "latent_pca.npy"), pc)
 
 
@@ -221,12 +249,15 @@ class AudioLanguageModelDemoCallback(DemoCallback):
         model = trainer.wrapper.lm
         old = model.params
         model.params = jax.device_get(state.params["model"])
+        old_cond = _swap_conditioner_params(model.conditioner, state)
         try:
             max_len = self.sample_size // model.pretransform.downsampling_ratio
+            n = min(self.num_demos, 2)
+            cond = self.demo_conditioning[:n] if self.demo_conditioning else None
             audio = model.generate_audio(
-                batch_size=min(self.num_demos, 2),
+                batch_size=n,
                 max_gen_len=max_len,
-                conditioning=self.demo_conditioning,
+                conditioning=cond,
                 rng=jax.random.PRNGKey(step),
             )
             audio = np.asarray(audio)
@@ -236,3 +267,4 @@ class AudioLanguageModelDemoCallback(DemoCallback):
                 trainer.logger.log_audio(f"demo/lm_audio_{i}", audio[i], self.sample_rate, step=step)
         finally:
             model.params = old
+            _restore_conditioner_params(model.conditioner, old_cond)

@@ -61,9 +61,16 @@ def test_dataset_sidecar_metadata(audio_dir):
 
 def test_dataloader_batches(audio_dir):
     ds = AudioFolderDataset([audio_dir], sample_size=2048, sample_rate=16000)
+    # one epoch per __iter__ (4 samples / batch 2 = 2 batches); epoch_steps
+    # is an upper bound, not a wrap-around
     dl = DataLoader(ds, batch_size=2, epoch_steps=3)
     batches = list(iter(dl))
-    assert len(batches) == 3
+    assert len(batches) == 2
+    assert len(dl) == 2
+    # a second iteration reshuffles and yields a fresh epoch (no leaked state)
+    assert len(list(iter(dl))) == 2
+    # epoch_steps below the epoch length truncates
+    assert len(list(iter(DataLoader(ds, batch_size=2, epoch_steps=1)))) == 1
     audio, metas = batches[0]
     assert audio.shape == (2, 2, 2048)
     assert len(metas) == 2

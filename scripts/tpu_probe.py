@@ -30,6 +30,7 @@ import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -49,6 +50,27 @@ def timeit(fn, *args, n=10, warmup=2):
         sync(fn(*args))
         times.append(time.time() - t0)
     return min(times)
+
+
+def timeit_loop(op, x, *rest, n=5):
+    """Per-op time free of the tunnel's ~30-40 ms host-sync latency: run the
+    op in a jitted fori_loop at two iteration counts and take the slope.
+    `op(x, *rest)` must return something x-shaped-compatible via the scalar
+    dependence trick (we add a tiny scalar of the output back into x so XLA
+    cannot hoist the op out of the loop)."""
+    import functools as ft
+
+    @ft.partial(jax.jit, static_argnums=(0,))
+    def run(iters, x, *rest):
+        def body(_, x):
+            y = op(x, *rest)
+            return x + (y.ravel()[0] * 1e-30).astype(x.dtype)
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    i1, i2 = 4, 20
+    t1 = timeit(lambda *a: run(i1, *a), x, *rest, n=n)
+    t2 = timeit(lambda *a: run(i2, *a), x, *rest, n=n)
+    return max((t2 - t1) / (i2 - i1), 1e-9)
 
 
 def emit(**kw):
@@ -83,19 +105,9 @@ def probe_gemm(n=10):
         w = jax.random.normal(jax.random.fold_in(rng, 1), (k, nn_), jnp.bfloat16) * 0.02
         flops = 2.0 * m * k * nn_
 
-        f_bf16 = jax.jit(lambda a, b: a @ b)
-        t = timeit(f_bf16, x, w, n=n)
+        t = timeit_loop(lambda a, b: a @ b, x, w, n=n)
         emit(probe="gemm", tag=tag, dtype="bf16", m=m, k=k, n=nn_,
              ms=round(t * 1e3, 3), tflops=round(flops / t / 1e12, 1))
-
-        # raw int8 dot: both operands pre-quantized outside the timed region
-        xq = jnp.clip(jnp.round(x.astype(jnp.float32) * 20), -127, 127).astype(jnp.int8)
-        wq, _ = quantize_weight_int8(w)
-        f_i8 = jax.jit(lambda a, b: jax.lax.dot_general(
-            a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32))
-        t = timeit(f_i8, xq, wq, n=n)
-        emit(probe="gemm", tag=tag, dtype="int8_raw", m=m, k=k, n=nn_,
-             ms=round(t * 1e3, 3), tops=round(flops / t / 1e12, 1))
 
         # dynamic int8: per-token act quant + per-channel weight quant inside
         # the timed fn, weight quant marked loop-invariant-like by jitting w
@@ -109,8 +121,7 @@ def probe_gemm(n=10):
                                       preferred_element_type=jnp.int32)
             return (acc.astype(jnp.float32) * as_ * bs).astype(a.dtype)
 
-        f_dyn = jax.jit(dyn)
-        t = timeit(f_dyn, x, wq2, ws, n=n)
+        t = timeit_loop(dyn, x, wq2, ws, n=n)
         emit(probe="gemm", tag=tag, dtype="int8_dynamic", m=m, k=k, n=nn_,
              ms=round(t * 1e3, 3), tflops_equiv=round(flops / t / 1e12, 1))
 
@@ -127,8 +138,9 @@ def probe_attn(n=10):
         v = jax.random.normal(jax.random.fold_in(rng, 2), (b, 24, 1024, 64), jnp.bfloat16)
         for impl in ("pallas", "xla"):
             try:
-                f = jax.jit(functools.partial(scaled_dot_product_attention, implementation=impl))
-                t = timeit(f, q, k, v, n=n)
+                t = timeit_loop(
+                    lambda q, k, v: scaled_dot_product_attention(q, k, v, implementation=impl),
+                    q, k, v, n=n)
                 emit(probe="attn", impl=impl, batch=b, ms=round(t * 1e3, 3))
             except Exception as e:  # pallas unavailable off-TPU
                 emit(probe="attn", impl=impl, batch=b, error=str(e)[:120])
@@ -199,6 +211,133 @@ def probe_layout(n=20):
              gb_per_s=round(2 * qkv.nbytes / t / 1e9, 1))
 
 
+# --------------------------------------------------------------- block --
+
+def probe_block(n=5):
+    """One SAO TransformerBlock (batch 2 = CFG-doubled, T=1026) loop-timed,
+    plus its isolated GEMM chain and attention group, so the non-GEMM
+    overhead (layout/pad/LN traffic) is measurable without a profiler
+    (trace capture is unsupported on the tunnel)."""
+    from friendly_stable_audio_tools_tpu.models.transformer import TransformerBlock
+    from friendly_stable_audio_tools_tpu.ops.embeddings import rotary_freqs
+    from friendly_stable_audio_tools_tpu.ops.attention import scaled_dot_product_attention
+
+    rng = jax.random.PRNGKey(0)
+    b, t, dim, heads, dh = 2, 1026, 1536, 24, 64
+    block = TransformerBlock(dim=dim, dim_heads=dh, cross_attend=True, dim_context=768)
+    x = jax.random.normal(rng, (b, t, dim), jnp.bfloat16) * 0.1
+    ctx = jax.random.normal(jax.random.fold_in(rng, 1), (b, 130, 768), jnp.bfloat16) * 0.1
+    rot = rotary_freqs(t, 32)
+    params = block.init(jax.random.PRNGKey(0), x, context=ctx, rotary_pos_emb=rot)["params"]
+    leaves, tdef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+    params = jax.tree_util.tree_unflatten(
+        tdef, [(l * 0.5 + 0.02 * jax.random.normal(k, l.shape)).astype(jnp.bfloat16)
+               for l, k in zip(leaves, keys)])
+
+    tb = timeit_loop(
+        lambda x, p: block.apply({"params": p}, x, context=ctx, rotary_pos_emb=rot,
+                                 cross_half_batch=True),
+        x, params, n=n)
+    emit(probe="block_full", ms=round(tb * 1e3, 3), step24_ms=round(tb * 24e3, 2))
+
+    # pure GEMM chain at the block's true shapes (no LN/rope/attention/layout)
+    w_qkv = jax.random.normal(rng, (dim, 3 * dim), jnp.bfloat16) * 0.02
+    w_out = jax.random.normal(rng, (dim, dim), jnp.bfloat16) * 0.02
+    w_cq = jax.random.normal(rng, (dim, dim), jnp.bfloat16) * 0.02
+    w_co = jax.random.normal(rng, (dim, dim), jnp.bfloat16) * 0.02
+    w_in = jax.random.normal(rng, (dim, 2 * 4 * dim), jnp.bfloat16) * 0.02
+    w_o2 = jax.random.normal(rng, (4 * dim, dim), jnp.bfloat16) * 0.02
+
+    def gemms(x, w_qkv, w_out, w_cq, w_co, w_in, w_o2):
+        qkv = x @ w_qkv
+        a = qkv[..., :dim] @ w_out
+        cq = (a[:1] @ w_cq) @ w_co  # cross q/out on the cond half only
+        h = a + jnp.concatenate([cq, jnp.zeros_like(cq)], 0)
+        g = h @ w_in
+        y = (g[..., : 4 * dim] * jax.nn.silu(g[..., 4 * dim:])) @ w_o2
+        return h + y
+
+    flops = 2 * b * t * dim * (3 * dim + dim + 8 * dim) + 2 * b * t * 4 * dim * dim + 2 * t * dim * 2 * dim
+    tg = timeit_loop(gemms, x, w_qkv, w_out, w_cq, w_co, w_in, w_o2, n=n)
+    emit(probe="block_gemms", ms=round(tg * 1e3, 3), step24_ms=round(tg * 24e3, 2),
+         tflops=round(flops / tg / 1e12, 1))
+
+    # attention group alone: split heads + rope + flash + merge, from a
+    # precomputed qkv (isolates layout+kernel cost)
+    from friendly_stable_audio_tools_tpu.ops.embeddings import apply_rotary_pos_emb
+
+    qkv0 = jax.random.normal(rng, (b, t, 3 * dim), jnp.bfloat16) * 0.1
+
+    def attn_group(qkv):
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        def sh(z):
+            return z.reshape(b, t, heads, dh).transpose(0, 2, 1, 3)
+        q, k, v = sh(q), sh(k), sh(v)
+        q = apply_rotary_pos_emb(q, rot)
+        k = apply_rotary_pos_emb(k, rot)
+        o = scaled_dot_product_attention(q, k, v)
+        return o.transpose(0, 2, 1, 3).reshape(b, t, dim)
+
+    ta = timeit_loop(attn_group, qkv0, n=n)
+    emit(probe="block_attn_group", ms=round(ta * 1e3, 3), step24_ms=round(ta * 24e3, 2))
+
+
+# -------------------------------------------------------------- decode --
+
+def probe_decode(n=5):
+    """VAE decode breakdown: full decoder (loop-timed, tunnel-latency-free),
+    then each stage's hot ops at its (T, C) shape — residual units (3 per
+    stage, dilations 1/3/9) and the polyphase transposed-conv upsample —
+    with per-op TFLOP/s so the farthest-from-roofline stage is obvious."""
+    from bench import build_models
+
+    vae, _ = build_models()
+    rng = jax.random.PRNGKey(0)
+    vae_params = vae.init(jax.random.PRNGKey(1), length=2048 * 4)
+    vae_params = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), vae_params)
+    lat = jax.random.normal(rng, (1, 1024, 64), jnp.bfloat16)
+
+    def dec(lat, params):
+        return vae._decode_nwc(lat, params=params)
+
+    t = timeit_loop(dec, lat, vae_params, n=n)
+    emit(probe="decode_full", ms=round(t * 1e3, 2))
+
+    from friendly_stable_audio_tools_tpu.ops.pallas.conv1d import (
+        fused_residual_unit, snake_conv_transpose1d,
+    )
+
+    # SAO decoder stages: (T_in, C_in, C_out, stride); RUs run at (T_out, C_out)
+    stages = [(1024, 2048, 1024, 8), (8192, 1024, 512, 8), (65536, 512, 256, 4),
+              (262144, 256, 128, 4), (1048576, 128, 128, 2)]
+    for (t_in, cin, cout, s) in stages:
+        t_out = t_in * s
+        x = jax.random.normal(rng, (1, t_in, cin), jnp.bfloat16) * 0.1
+        wt = jax.random.normal(rng, (2 * s, cin, cout), jnp.bfloat16) * 0.02
+        alpha = jnp.ones((cin,), jnp.float32)
+        up_flops = 2.0 * t_out * cin * cout * 2  # 2 taps/output phase
+        tu = timeit_loop(
+            lambda x, w: snake_conv_transpose1d(x, w, None, alpha, alpha, stride=s),
+            x, wt, n=n)
+        emit(probe="decode_up", t_in=t_in, cin=cin, cout=cout, stride=s,
+             ms=round(tu * 1e3, 3), tflops=round(up_flops / tu / 1e12, 1))
+
+        y = jax.random.normal(rng, (1, t_out, cout), jnp.bfloat16) * 0.1
+        w1 = jax.random.normal(rng, (7, cout, cout), jnp.bfloat16) * 0.02
+        w2 = jax.random.normal(rng, (cout, cout), jnp.bfloat16) * 0.02
+        b = jnp.zeros((cout,), jnp.float32)
+        ao = jnp.ones((cout,), jnp.float32)
+        ru_flops = 2.0 * t_out * cout * cout * 8  # k7 + k1
+        for d in (1, 9):
+            tr = timeit_loop(
+                lambda y, w1, w2: fused_residual_unit(
+                    y, w1, b, ao, ao, w2, b, ao, ao, dilation=d),
+                y, w1, w2, n=n)
+            emit(probe="decode_ru", t=t_out, c=cout, dilation=d,
+                 ms=round(tr * 1e3, 3), tflops=round(ru_flops / tr / 1e12, 1))
+
+
 # --------------------------------------------------------------- train --
 
 def probe_train(n=5):
@@ -259,7 +398,7 @@ def probe_train(n=5):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--section", default="all",
-                    choices=["gemm", "attn", "step", "layout", "train", "all"])
+                    choices=["gemm", "attn", "step", "layout", "train", "decode", "block", "all"])
     ap.add_argument("-n", type=int, default=10)
     args = ap.parse_args()
     emit(probe="env", platform=jax.devices()[0].platform,
@@ -270,6 +409,10 @@ def main():
         probe_attn(args.n)
     if args.section in ("layout", "all"):
         probe_layout(args.n)
+    if args.section in ("block", "all"):
+        probe_block(max(3, args.n // 2))
+    if args.section in ("decode", "all"):
+        probe_decode(max(3, args.n // 2))
     if args.section in ("step", "all"):
         probe_step(max(3, args.n // 2))
     if args.section in ("train", "all"):

@@ -367,15 +367,20 @@ def _ru_kernel(x_cur, x_nxt, w1_ref, b1_ref, ab1_ref, w2_ref, b2_ref, ab2_ref,
     res = x[padding : padding + block_t]
     a1, ib1 = ab1_ref[0, :], ab1_ref[1, :]
     x = x + 0.5 * ib1 * (1.0 - jnp.cos(2.0 * a1 * x))
+    # cast to the model dtype BEFORE the dots, exactly like the XLA reference
+    # (_ru_xla casts snake output to x.dtype before each conv): fp32 MXU
+    # operands run multi-pass, measured 2-3x slower at decoder shapes
+    x = x.astype(o_ref.dtype)
     cin = w1_ref.shape[1]
     for j in range(k):
         xcat_ref[:, j * cin : (j + 1) * cin] = x[j * dilation : j * dilation + block_t]
-    w1 = w1_ref[:].reshape(k * cin, w1_ref.shape[2])
+    w1 = w1_ref[:].reshape(k * cin, w1_ref.shape[2]).astype(o_ref.dtype)
     h = jax.lax.dot_general(xcat_ref[:], w1, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32) + b1_ref[0, :]
     a2, ib2 = ab2_ref[0, :], ab2_ref[1, :]
     h = h + 0.5 * ib2 * (1.0 - jnp.cos(2.0 * a2 * h))
-    y = jax.lax.dot_general(h, w2_ref[:], (((1,), (0,)), ((), ())),
+    h = h.astype(o_ref.dtype)
+    y = jax.lax.dot_general(h, w2_ref[:].astype(o_ref.dtype), (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32) + b2_ref[0, :]
     o_ref[:] = (y + res).astype(o_ref.dtype)
 
@@ -410,7 +415,7 @@ def _ru_forward(x, w1, b1, ab1, w2, b2, ab2, dilation, block_t):
         ],
         out_specs=pl.BlockSpec((None, block_t, cout), lambda bb, i: (bb, i, 0)),
         out_shape=jax.ShapeDtypeStruct((b, n_t * block_t, cout), x.dtype),
-        scratch_shapes=[pltpu.VMEM((block_t, k * cin), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((block_t, k * cin), x.dtype)],
     )(xp, xp, w1, b1.reshape(1, -1), ab1, w2, b2.reshape(1, -1), ab2)
     return out[:, :t, :]
 
@@ -441,17 +446,21 @@ _ru.defvjp(_ru_fwd, _ru_bwd)
 
 
 def fused_residual_unit(x, w1, b1, alpha1, inv_beta1, w2, b2, alpha2, inv_beta2,
-                        dilation: int = 1, block_t: int = 2048):
+                        dilation: int = 1, block_t: int = 4096):
     """Whole Oobleck ResidualUnit in one HBM pass:
     y = x + conv1x1(snake2(conv_k(snake1(x)))). Requires cin == cout."""
     k, cin, cout = w1.shape
     assert cin == cout == w2.shape[0] == w2.shape[1]
     ab1 = jnp.stack([alpha1, inv_beta1]).astype(jnp.float32)
     ab2 = jnp.stack([alpha2, inv_beta2]).astype(jnp.float32)
-    w_bytes = (k * cin * cin + cin * cin) * 4
+    wdt = jnp.dtype(w1.dtype).itemsize
+    xdt = jnp.dtype(x.dtype).itemsize
+    w_bytes = (k * cin * cin + cin * cin) * wdt
     budget = 10 * 2**20 - w_bytes
+    # per-row VMEM: x block (double-buffered) + fp32 snake temp + xcat scratch
+    # (model dtype) on the cin side; out block + fp32 acc/h on the cout side
     bt = block_t
-    while bt > 128 and 4 * bt * ((4 + k) * cin + 2 * cout) > budget:
+    while bt > 128 and bt * ((4 + 3 * xdt + xdt * k) * cin + 14 * cout) > budget:
         bt //= 2
     use_pallas = (
         os.environ.get("FSAT_DISABLE_PALLAS_CONV") != "1"

@@ -58,16 +58,19 @@ def timeit_loop(op, x, *rest, n=5):
     `op(x, *rest)` must return something x-shaped-compatible via the scalar
     dependence trick (we add a tiny scalar of the output back into x so XLA
     cannot hoist the op out of the loop)."""
-    import functools as ft
-
-    @ft.partial(jax.jit, static_argnums=(0,))
+    @jax.jit
     def run(iters, x, *rest):
         def body(_, x):
             y = op(x, *rest)
             return x + (y.ravel()[0] * 1e-30).astype(x.dtype)
+        # dynamic trip count: ONE compile serves every iteration count
         return jax.lax.fori_loop(0, iters, body, x)
 
-    i1, i2 = 4, 20
+    # adaptive iteration counts: the tunnel's sync latency jitters by
+    # several ms, so the i2-i1 delta must represent seconds of device work
+    est = timeit(lambda *a: run(4, *a), x, *rest, n=2) / 4  # latency-polluted
+    i2 = int(min(max(2.0 / max(est, 1e-6), 10), 2000))
+    i1 = max(2, i2 // 5)
     t1 = timeit(lambda *a: run(i1, *a), x, *rest, n=n)
     t2 = timeit(lambda *a: run(i2, *a), x, *rest, n=n)
     return max((t2 - t1) / (i2 - i1), 1e-9)

@@ -1,0 +1,162 @@
+"""Fused SwiGLU MLP Pallas kernel for the DiT hot path.
+
+The per-layer MLP (reference models/transformer.py:241-287: GLU in-proj ->
+silu-mul -> out-proj) is the largest GEMM group in the DiT step (116 of
+164 GFLOP/layer at SAO shapes). Run as separate XLA ops it round-trips the
+[M, 2*inner] GLU intermediate (~50 MB bf16 at M=2052) plus the [M, inner]
+activation product through HBM between the two GEMMs.
+
+This kernel fuses the whole chain: grid over (M blocks, inner blocks), the
+[bm, K] input block and a [bm, K] fp32 accumulator stay resident in VMEM
+across the inner dimension; value/gate projections, the silu-mul, and the
+out-projection partial product all happen on VMEM tiles. The GLU
+intermediate never touches HBM.
+
+Numerics match the unfused XLA chain: all dots are bf16 x bf16 -> fp32
+accumulate, and the value/gate tiles are rounded to bf16 before the
+silu-mul (exactly where the XLA chain's first GEMM output conversion
+rounds), so the fused path is bit-comparable to `GLU -> Dense`.
+
+Weight layout: value kernel [K, inner], gate kernel [K, inner] (the two
+halves of the reference's doubled in-projection), out kernel [inner, K_out].
+Weight blocks stream HBM->VMEM once per M block — at SAO shapes (M=2052,
+bm 512+) that traffic is ~2x the unfused chain's weight reads but far less
+than the intermediate round-trips it removes, and it double-buffers under
+the dots.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    import os
+
+    return os.environ.get("FSAT_PALLAS_INTERPRET") == "1"
+
+
+def _glu_mlp_kernel(x_ref, wv_ref, wg_ref, wo_ref, bv_ref, bg_ref,
+                    o_ref, acc_ref, *, n_j: int):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[:]
+    v = jax.lax.dot_general(x, wv_ref[:], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    g = jax.lax.dot_general(x, wg_ref[:], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    v = v + bv_ref[:]
+    g = g + bg_ref[:]
+    # round to bf16 exactly where the unfused chain's in-GEMM output does
+    v = v.astype(jnp.bfloat16)
+    g = g.astype(jnp.bfloat16)
+    h = v * (g * jax.nn.sigmoid(g.astype(jnp.float32)).astype(jnp.bfloat16))
+    acc_ref[:] += jax.lax.dot_general(h, wo_ref[:], (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+
+    @pl.when(j == n_j - 1)
+    def _flush():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _glu_mlp_impl(x, w_value, w_gate, w_out, b_value, b_gate,
+                  block_m: int, block_j: int):
+    *lead, k = x.shape
+    inner = w_value.shape[1]
+    k_out = w_out.shape[1]
+    assert w_gate.shape == (k, inner) and w_out.shape[0] == inner
+
+    m = 1
+    for d in lead:
+        m *= d
+    x2 = x.reshape(m, k)
+
+    bm = min(block_m, (m + 7) // 8 * 8)
+    bj = min(block_j, inner)
+    assert inner % bj == 0, (inner, bj)
+    n_j = inner // bj
+    pm = (bm - m % bm) % bm
+    if pm:
+        x2 = jnp.pad(x2, ((0, pm), (0, 0)))
+    n_m = x2.shape[0] // bm
+
+    bv = jnp.broadcast_to(b_value.astype(jnp.float32), (1, inner))
+    bg = jnp.broadcast_to(b_gate.astype(jnp.float32), (1, inner))
+
+    out = pl.pallas_call(
+        functools.partial(_glu_mlp_kernel, n_j=n_j),
+        grid=(n_m, n_j),
+        interpret=_interpret(),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i, j: (i, 0)),
+            pl.BlockSpec((k, bj), lambda i, j: (0, j)),
+            pl.BlockSpec((k, bj), lambda i, j: (0, j)),
+            pl.BlockSpec((bj, k_out), lambda i, j: (j, 0)),
+            pl.BlockSpec((1, bj), lambda i, j: (0, j)),
+            pl.BlockSpec((1, bj), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, k_out), lambda i, j: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((x2.shape[0], k_out), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, k_out), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 2**20,
+        ),
+    )(x2, w_value, w_gate, w_out, bv, bg)
+
+    if pm:
+        out = out[:m]
+    return out.reshape(*lead, k_out)
+
+
+def _xla_reference(x, w_value, w_gate, w_out, b_value, b_gate):
+    """The unfused chain the kernel replaces (same bf16 rounding points)."""
+    v = (x @ w_value + b_value.astype(x.dtype)).astype(x.dtype)
+    g = (x @ w_gate + b_gate.astype(x.dtype)).astype(x.dtype)
+    return ((v * jax.nn.silu(g)) @ w_out).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _glu_mlp(x, w_value, w_gate, w_out, b_value, b_gate, block_m, block_j):
+    return _glu_mlp_impl(x, w_value, w_gate, w_out, b_value, b_gate,
+                         block_m, block_j)
+
+
+def _glu_mlp_fwd(x, w_value, w_gate, w_out, b_value, b_gate, block_m, block_j):
+    # training: gradients via the XLA chain's vjp (same math, standard
+    # rematerialization; the fused kernel is an inference-throughput tool)
+    out, vjp = jax.vjp(_xla_reference, x, w_value, w_gate, w_out, b_value, b_gate)
+    return out, vjp
+
+
+def _glu_mlp_bwd(block_m, block_j, vjp, dy):
+    return vjp(dy)
+
+
+_glu_mlp.defvjp(_glu_mlp_fwd, _glu_mlp_bwd)
+
+
+def glu_mlp(x: jnp.ndarray, w_value: jnp.ndarray, w_gate: jnp.ndarray,
+            w_out: jnp.ndarray, b_value: jnp.ndarray = None,
+            b_gate: jnp.ndarray = None,
+            block_m: int = 512, block_j: int = 512) -> jnp.ndarray:
+    """x [..., K] -> ((x @ w_value + b_value) * silu(x @ w_gate + b_gate)) @ w_out.
+
+    The GLU intermediate lives only in VMEM. The caller adds any output-
+    projection bias itself (it is a plain epilogue add).
+    """
+    inner = w_value.shape[1]
+    if b_value is None:
+        b_value = jnp.zeros((inner,), jnp.float32)
+    if b_gate is None:
+        b_gate = jnp.zeros((inner,), jnp.float32)
+    return _glu_mlp(x, w_value, w_gate, w_out, b_value, b_gate, block_m, block_j)

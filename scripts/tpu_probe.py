@@ -62,7 +62,11 @@ def timeit_loop(op, x, *rest, n=5):
     def run(iters, x, *rest):
         def body(_, x):
             y = op(x, *rest)
-            return x + (y.ravel()[0] * 1e-30).astype(x.dtype)
+            # depend on EVERY output element: a single-element dependence
+            # lets XLA dead-code-slice a GEMM down to one row (observed:
+            # "65,000 TFLOP/s"). The full-tensor reduce adds one read pass
+            # over the output — small vs the ops being timed.
+            return x + (y.astype(jnp.float32).sum() * 1e-30).astype(x.dtype)
         # dynamic trip count: ONE compile serves every iteration count
         return jax.lax.fori_loop(0, iters, body, x)
 
@@ -286,6 +290,115 @@ def probe_block(n=5):
     emit(probe="block_attn_group", ms=round(ta * 1e3, 3), step24_ms=round(ta * 24e3, 2))
 
 
+# -------------------------------------------------------------- mlpvar --
+
+def probe_mlpvar(n=5):
+    """GEMM-rate variants at the DiT hot shapes. Answers, with measurements:
+    (1) is the GLU silu-mul a separate (unfused) HBM pass or folded into the
+    GEMMs; (2) how much of the 139-vs-178 TFLOP/s gap is the M=2052
+    misalignment vs the shape itself; (3) does splitting/merging the N dim
+    change the rate. All variants are output-exact candidates."""
+    rng = jax.random.PRNGKey(0)
+    k, ninner = 1536, 6144
+
+    def mk(mm, kk, nn_):
+        x = jax.random.normal(rng, (mm, kk), jnp.bfloat16)
+        w = jax.random.normal(jax.random.fold_in(rng, 1), (kk, nn_), jnp.bfloat16) * 0.02
+        return x, w
+
+    # -- M alignment sweep on the in-GEMM shape
+    for m in (1026, 2048, 2052, 2176, 4096):
+        x, w = mk(m, k, 2 * ninner)
+        t = timeit_loop(lambda a, b: a @ b, x, w, n=n)
+        emit(probe="mlpvar_in_gemm", m=m, ms=round(t * 1e3, 3),
+             tflops=round(2.0 * m * k * 2 * ninner / t / 1e12, 1))
+
+    m = 2052
+    x, w_in = mk(m, k, 2 * ninner)
+    w_out = jax.random.normal(jax.random.fold_in(rng, 2), (ninner, k), jnp.bfloat16) * 0.02
+    g0 = jax.random.normal(jax.random.fold_in(rng, 3), (m, 2 * ninner), jnp.bfloat16)
+    h0 = jax.random.normal(jax.random.fold_in(rng, 4), (m, ninner), jnp.bfloat16)
+
+    # -- pieces vs chain: if chain ~= in+out the silu-mul pass is free (fused)
+    t_in = timeit_loop(lambda a, b: a @ b, x, w_in, n=n)
+    t_act = timeit_loop(lambda g: g[:, :ninner] * jax.nn.silu(g[:, ninner:]), g0, n=n)
+    t_out = timeit_loop(lambda h, b: h @ b, h0, w_out, n=n)
+
+    def glu_chain(a, wi, wo):
+        g = a @ wi
+        return (g[:, :ninner] * jax.nn.silu(g[:, ninner:])) @ wo
+
+    t_chain = timeit_loop(glu_chain, x, w_in, w_out, n=n)
+    flops_chain = 2.0 * m * k * 2 * ninner + 2.0 * m * ninner * k
+    emit(probe="mlpvar_pieces", in_ms=round(t_in * 1e3, 3), act_ms=round(t_act * 1e3, 3),
+         out_ms=round(t_out * 1e3, 3), chain_ms=round(t_chain * 1e3, 3),
+         sum_pieces_ms=round((t_in + t_act + t_out) * 1e3, 3),
+         chain_tflops=round(flops_chain / t_chain / 1e12, 1))
+
+    # -- value/gate as two N=6144 GEMMs (avoids the strided split of the
+    #    [m, 12288] intermediate)
+    wv, wg = w_in[:, :ninner], w_in[:, ninner:]
+
+    def glu_split(a, wv, wg, wo):
+        return ((a @ wv) * jax.nn.silu(a @ wg)) @ wo
+
+    t_split = timeit_loop(glu_split, x, wv, wg, w_out, n=n)
+    emit(probe="mlpvar_split_vg", chain_ms=round(t_split * 1e3, 3),
+         chain_tflops=round(flops_chain / t_split / 1e12, 1))
+
+    # -- fp32 accumulate-output GEMM (does the bf16 output convert cost?)
+    t_f32 = timeit_loop(
+        lambda a, b: jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32), x, w_in, n=n)
+    emit(probe="mlpvar_in_gemm_f32out", ms=round(t_f32 * 1e3, 3),
+         tflops=round(2.0 * m * k * 2 * ninner / t_f32 / 1e12, 1))
+
+    # -- batched [2, 1026, k] vs flattened [2052, k] (does XLA collapse it?)
+    xb = x.reshape(2, 1026, k)
+    t_b = timeit_loop(lambda a, b: a @ b, xb, w_in, n=n)
+    emit(probe="mlpvar_in_gemm_batched", ms=round(t_b * 1e3, 3),
+         tflops=round(2.0 * m * k * 2 * ninner / t_b / 1e12, 1))
+
+    # -- the full per-layer GEMM chain with LN/residual/adds interleaved the
+    #    way the block actually runs them (how much do the elementwise
+    #    passes between GEMMs cost once XLA fuses what it can?)
+    gamma1 = jnp.ones((k,), jnp.float32)
+
+    def ln(z, gamma):
+        z32 = z.astype(jnp.float32)
+        mu = z32.mean(-1, keepdims=True)
+        var = z32.var(-1, keepdims=True)
+        return ((z32 - mu) * jax.lax.rsqrt(var + 1e-5) * gamma).astype(z.dtype)
+
+    def chain_with_ln(a, wi, wo):
+        h = a + glu_chain(ln(a, gamma1), wi, wo)
+        return h
+
+    t_cl = timeit_loop(chain_with_ln, x, w_in, w_out, n=n)
+    emit(probe="mlpvar_chain_ln_resid", ms=round(t_cl * 1e3, 3),
+         extra_vs_chain_ms=round((t_cl - t_chain) * 1e3, 3))
+
+    # -- fused Pallas GLU-MLP (intermediate never leaves VMEM)
+    from friendly_stable_audio_tools_tpu.ops.pallas.mlp import glu_mlp
+
+    ref = np.asarray(glu_chain(x, w_in, w_out), np.float32)
+    for bm in (256, 512, 768, 1024, 2112):
+        for bj in (512, 1024, 2048):
+            try:
+                fn = lambda a, wv_, wg_, wo_, bm=bm, bj=bj: glu_mlp(
+                    a, wv_, wg_, wo_, block_m=bm, block_j=bj)
+                got = np.asarray(fn(x, wv, wg, w_out), np.float32)
+                rel = float(np.linalg.norm(got - ref) / (np.linalg.norm(ref) + 1e-12))
+                t_p = timeit_loop(fn, x, wv, wg, w_out, n=n)
+                emit(probe="mlpvar_pallas_fused", block_m=bm, block_j=bj,
+                     ms=round(t_p * 1e3, 3),
+                     tflops=round(flops_chain / t_p / 1e12, 1),
+                     rel_l2_vs_xla=round(rel, 6))
+            except Exception as e:
+                emit(probe="mlpvar_pallas_fused", block_m=bm, block_j=bj,
+                     error=str(e)[:160])
+
+
 # -------------------------------------------------------------- decode --
 
 def probe_decode(n=5):
@@ -401,7 +514,8 @@ def probe_train(n=5):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--section", default="all",
-                    choices=["gemm", "attn", "step", "layout", "train", "decode", "block", "all"])
+                    choices=["gemm", "attn", "step", "layout", "train", "decode", "block",
+                             "mlpvar", "all"])
     ap.add_argument("-n", type=int, default=10)
     args = ap.parse_args()
     emit(probe="env", platform=jax.devices()[0].platform,
@@ -414,6 +528,8 @@ def main():
         probe_layout(args.n)
     if args.section in ("block", "all"):
         probe_block(max(3, args.n // 2))
+    if args.section in ("mlpvar", "all"):
+        probe_mlpvar(max(3, args.n // 2))
     if args.section in ("decode", "all"):
         probe_decode(max(3, args.n // 2))
     if args.section in ("step", "all"):

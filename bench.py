@@ -6,17 +6,32 @@ dpmpp-3m-sde with CFG batch-doubling (the reference's default recipe,
 generate.py:28-31,135-137), through the full pipeline: DiT denoise scan
 (1024 latent frames, 64 channels) + Oobleck VAE decode.
 
+WHAT IS INSIDE THE TIMED LOOP: the 100-step CFG denoise scan and the VAE
+decode. The T5 conditioner forward is NOT timed — the bench feeds pre-made
+cond embeddings where the reference recipe runs T5 once per prompt
+(reference generation.py:143-146). That forward is once-per-generation and
+measured at ~10-20 ms against the ~3 s generation (<1% — see
+docs/performance.md); the reported number would round identically.
+
 Weights are random-initialized (no pretrained checkpoints are downloadable
 here); throughput is architecture-determined, not weight-determined.
 
 Prints ONE JSON line:
   {"metric": "secs_of_audio_per_sec_per_chip", "value": N,
-   "unit": "s_audio/s/chip", "vs_baseline": N}
-vs_baseline is value / 20 (driver target: >20x real-time per chip).
+   "unit": "s_audio/s/chip", "vs_baseline": N,
+   "int8_value": N, "int8_rel_l2_vs_bf16": N}
+vs_baseline is value / 20 (driver target: >20x real-time per chip) for the
+bf16 HEADLINE, which matches the reference recipe's numerics. int8_value is
+the same pipeline with FSAT_INT8_MATMUL=1 (dynamic per-token activation +
+per-channel weight int8 on the DiT projections) — it changes outputs, so it
+is reported beside its measured output divergence, never as the headline.
+BENCH_SKIP_INT8=1 skips that second compile (e.g. for quick A/B runs).
 """
 
 import json
 import os
+import signal
+import subprocess
 import sys
 import threading
 import time
@@ -156,6 +171,46 @@ def main():
     }
     print(f"wall per gen: {wall:.2f}s for {total_audio_seconds:.1f}s audio "
           f"({steps} steps, batch {batch}, {n_chips} chip)", file=sys.stderr)
+
+    save_path = os.environ.get("BENCH_SAVE_AUDIO")
+    if save_path:
+        np.save(save_path, np.asarray(out, np.float32))
+
+    if os.environ.get("BENCH_SKIP_INT8") == "1" or os.environ.get("FSAT_INT8_MATMUL") == "1":
+        print(json.dumps(result))
+        return
+
+    # int8 secondary: same pipeline under FSAT_INT8_MATMUL=1, run in a
+    # bounded subprocess (fresh process = the trace-time flag is correct by
+    # construction; a wedged second compile cannot eat the headline). If an
+    # external timeout SIGTERMs us mid-int8, print the bf16 result on exit.
+    def _on_term(signum, frame):
+        print(json.dumps(result), flush=True)
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, _on_term)
+    try:
+        bf16_audio = np.asarray(out, np.float32)
+        int8_path = "/tmp/bench_int8_audio.npy"
+        env = dict(os.environ, FSAT_INT8_MATMUL="1", BENCH_SKIP_INT8="1",
+                   BENCH_SAVE_AUDIO=int8_path, BENCH_RUNS="2")
+        print("int8 secondary: recompiling under FSAT_INT8_MATMUL=1...", file=sys.stderr)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True,
+            timeout=int(os.environ.get("BENCH_INT8_TIMEOUT", 900)),
+        )
+        sys.stderr.write(proc.stderr)
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        int8_value = json.loads(line)["value"]
+        int8_audio = np.load(int8_path)
+        rel_l2 = float(np.linalg.norm(int8_audio - bf16_audio) /
+                       max(np.linalg.norm(bf16_audio), 1e-12))
+        result["int8_value"] = round(float(int8_value), 3)
+        result["int8_rel_l2_vs_bf16"] = round(rel_l2, 5)
+    except Exception as e:  # noqa: BLE001 — int8 is best-effort, never the headline
+        print(f"int8 secondary failed ({type(e).__name__}: {e}); "
+              "reporting bf16 only", file=sys.stderr)
     print(json.dumps(result))
 
 

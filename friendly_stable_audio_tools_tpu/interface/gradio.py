@@ -121,18 +121,7 @@ def generate_cond(prompt, negative_prompt=None, seconds_start=0, seconds_total=3
             "marination": mask_marination or 0.0,
         }
 
-    if preview_every == 0:
-        preview_every = None
-    preview_latents: tp.List = []
-    progress_callback = None
-    if preview_every is not None:
-        def progress_callback(info):
-            # snapshot only — decoding here would re-enter jitted JAX from
-            # inside a host callback (deadlock-prone on TPU); gradio returns
-            # previews with the final output anyway, so decode afterwards
-            step = info["i"]
-            if (step - 1) % int(preview_every) == 0:
-                preview_latents.append((step, float(info["sigma"]), np.array(info["denoised"])))
+    preview_every, preview_latents, progress_callback = _make_preview_callback(preview_every)
 
     audio = generate_diffusion_cond(
         MODEL, steps=steps, cfg_scale=cfg_scale,
@@ -149,25 +138,53 @@ def generate_cond(prompt, negative_prompt=None, seconds_start=0, seconds_total=3
     flat_audio = a.transpose(1, 0, 2).reshape(a.shape[1], -1)
     out_audio = (SAMPLE_RATE, float_to_int16_audio(flat_audio).T)
     if preview_every is not None:
-        from ..training.viz import audio_spectrogram_image
-
-        # host callbacks may still be in flight after the output transfer;
-        # drain them so trailing previews are not dropped
-        try:
-            jax.effects_barrier()
-        except Exception:
-            pass
-        preview_images = []
-        for step, sigma, denoised in preview_latents:  # [B, L, C] latents
-            if MODEL.pretransform is not None:
-                denoised = np.asarray(MODEL.pretransform.decode_nwc(denoised))
-            # [B, T, C] -> [C, B*T] like the reference's "b d n -> d (b n)"
-            flat = np.clip(denoised.transpose(2, 0, 1).reshape(denoised.shape[-1], -1), -1, 1)
-            img = _fig_to_array(audio_spectrogram_image(flat, sample_rate=SAMPLE_RATE))
-            if img is not None:
-                preview_images.append((img, f"Step {step} sigma={sigma:.3f}"))
-        return out_audio, preview_images
+        return out_audio, _render_previews(preview_latents)
     return out_audio
+
+
+def _make_preview_callback(preview_every):
+    """Shared preview plumbing for the cond and uncond paths (reference
+    gradio.py:143-153 and :259-268). Returns (normalized preview_every,
+    collected latents list, sampler callback or None)."""
+    if preview_every == 0:
+        preview_every = None
+    preview_latents: tp.List = []
+    if preview_every is None:
+        return None, preview_latents, None
+
+    def progress_callback(info):
+        # snapshot only — decoding here would re-enter jitted JAX from
+        # inside a host callback (deadlock-prone on TPU); gradio returns
+        # previews with the final output anyway, so decode afterwards
+        step = info["i"]
+        if (step - 1) % int(preview_every) == 0:
+            preview_latents.append((step, float(info["sigma"]), np.array(info["denoised"])))
+
+    return preview_every, preview_latents, progress_callback
+
+
+def _render_previews(preview_latents):
+    """Decode collected preview latents to captioned spectrogram images."""
+    import jax
+
+    from ..training.viz import audio_spectrogram_image
+
+    # host callbacks may still be in flight after the output transfer;
+    # drain them so trailing previews are not dropped
+    try:
+        jax.effects_barrier()
+    except Exception:
+        pass
+    preview_images = []
+    for step, sigma, denoised in preview_latents:  # [B, L, C] latents
+        if MODEL.pretransform is not None:
+            denoised = np.asarray(MODEL.pretransform.decode_nwc(denoised))
+        # [B, T, C] -> [C, B*T] like the reference's "b d n -> d (b n)"
+        flat = np.clip(denoised.transpose(2, 0, 1).reshape(denoised.shape[-1], -1), -1, 1)
+        img = _fig_to_array(audio_spectrogram_image(flat, sample_rate=SAMPLE_RATE))
+        if img is not None:
+            preview_images.append((img, f"Step {step} sigma={sigma:.3f}"))
+    return preview_images
 
 
 def _fig_to_array(fig):
@@ -185,25 +202,32 @@ def _fig_to_array(fig):
     return buf
 
 
-def generate_uncond(steps=250, seed=-1, sampler_type="dpmpp-3m-sde", sigma_min=0.3,
-                    sigma_max=500, use_init=False, init_audio=None, init_noise_level=1.0,
-                    batch_size=1):
-    """reference gradio.py:210-306."""
+def generate_uncond(steps=250, seed=-1, sampler_type="dpmpp-3m-sde", sigma_min=0.03,
+                    sigma_max=1000, use_init=False, init_audio=None, init_noise_level=1.0,
+                    batch_size=1, preview_every=None):
+    """reference gradio.py:210-306 (sigma defaults 0.03/1000 per :214-216;
+    `preview_every` collects per-step spectrogram previews like the cond
+    path and returns (audio, [previews]))."""
     from ..inference.generation import generate_diffusion_uncond
 
     init = None
     if use_init and init_audio is not None:
         in_sr, audio = init_audio
         init = (in_sr, _norm_gr_audio(audio))
+    preview_every, preview_latents, progress_callback = _make_preview_callback(preview_every)
     audio = generate_diffusion_uncond(
         MODEL, steps=steps, batch_size=batch_size, sample_size=SAMPLE_SIZE, seed=seed,
         sampler_type=sampler_type, sigma_min=sigma_min, sigma_max=sigma_max,
         init_audio=init, init_noise_level=init_noise_level,
+        callback=progress_callback,
     )
     from ..utils.audio_utils import float_to_int16_audio
 
     a = np.asarray(audio)
-    return (SAMPLE_RATE, float_to_int16_audio(a.transpose(1, 0, 2).reshape(a.shape[1], -1)).T)
+    out_audio = (SAMPLE_RATE, float_to_int16_audio(a.transpose(1, 0, 2).reshape(a.shape[1], -1)).T)
+    if preview_every is not None:
+        return out_audio, _render_previews(preview_latents)
+    return out_audio
 
 
 def generate_lm(temperature=1.0, top_p=0.95, top_k=0, batch_size=1):
@@ -321,10 +345,22 @@ def create_ui(model_config=None, ckpt_path=None, pretrained_name=None,
         with gr.Blocks() as ui:
             gr.Markdown("# friendly-stable-audio-tools-tpu: unconditional generation")
             steps = gr.Slider(1, 500, value=250, step=1, label="Steps")
+            preview_every = gr.Slider(0, 100, value=0, step=1,
+                                      label="Preview every N steps (0 = off)")
             seed = gr.Number(value=-1, label="Seed")
             out = gr.Audio(label="Output")
-            gr.Button("Generate").click(fn=lambda s, sd: generate_uncond(steps=int(s), seed=int(sd)),
-                                        inputs=[steps, seed], outputs=out)
+            previews = gr.Gallery(label="Step previews", visible=True)
+
+            def _generate_uncond(s, pe, sd):
+                res = generate_uncond(steps=int(s), seed=int(sd),
+                                      preview_every=int(pe) or None)
+                if isinstance(res, tuple) and len(res) == 2 and isinstance(res[1], list):
+                    return res[0], res[1]
+                return res, []
+
+            gr.Button("Generate").click(fn=_generate_uncond,
+                                        inputs=[steps, preview_every, seed],
+                                        outputs=[out, previews])
         return ui
 
     if model_type in ("autoencoder", "diffusion_autoencoder"):

@@ -59,8 +59,13 @@ class GLU(nn.Module):
     activation: tp.Callable = jax.nn.silu
 
     @nn.compact
-    def __call__(self, x):
-        x = QuantDense(self.dim_out * 2, param_dtype=jnp.float32, name="proj")(x)
+    def __call__(self, x, return_weights: bool = False):
+        proj = QuantDense(self.dim_out * 2, param_dtype=jnp.float32, name="proj")
+        if return_weights:
+            # fused-MLP hook: hand the doubled in-projection weights to the
+            # caller (FeedForward) for the Pallas glu_mlp kernel
+            return proj(x, return_kernel=True)
+        x = proj(x)
         x, gate = jnp.split(x, 2, axis=-1)
         return x * self.activation(gate)
 
@@ -79,17 +84,41 @@ class FeedForward(nn.Module):
     def __call__(self, x):
         inner = int(self.dim * self.mult)
         dim_out = self.dim_out or self.dim
+        kinit = nn.initializers.zeros if self.zero_init_output else nn.initializers.lecun_normal()
+        out_dense = QuantDense(
+            dim_out, use_bias=not self.no_bias, kernel_init=kinit,
+            param_dtype=jnp.float32, name="linear_out",
+        )
+
+        from ..ops.pallas.mlp import fused_mlp_enabled, pick_block_j
+
+        if self.glu and fused_mlp_enabled() and pick_block_j(inner):
+            # Fused Pallas SwiGLU: GLU in-proj -> silu-mul -> out-proj in one
+            # kernel; the [.., 2*inner] intermediate never touches HBM
+            # (ops/pallas/mlp.py). Param tree is identical to the unfused
+            # path (weights come from the same submodules via return_kernel).
+            from ..ops.pallas.mlp import glu_mlp
+
+            w_in, b_in = GLU(self.dim, inner, name="linear_in")(x, return_weights=True)
+            # shape-hint placeholder: out_dense's kernel is [inner, dim_out]
+            # (in the unfused path it is called on the inner activation)
+            w_out, b_out = out_dense(jnp.zeros((1, inner), x.dtype), return_kernel=True)
+            y = glu_mlp(
+                x, w_in[:, :inner], w_in[:, inner:], w_out,
+                None if b_in is None else b_in[:inner],
+                None if b_in is None else b_in[inner:],
+                block_j=pick_block_j(inner),
+            )
+            if b_out is not None:
+                y = y + b_out
+            return y
+
         if self.glu:
             x = GLU(self.dim, inner, name="linear_in")(x)
         else:
             x = QuantDense(inner, use_bias=not self.no_bias, param_dtype=jnp.float32, name="linear_in")(x)
             x = jax.nn.silu(x)
-        kinit = nn.initializers.zeros if self.zero_init_output else nn.initializers.lecun_normal()
-        x = QuantDense(
-            dim_out, use_bias=not self.no_bias, kernel_init=kinit,
-            param_dtype=jnp.float32, name="linear_out",
-        )(x)
-        return x
+        return out_dense(x)
 
 
 class Attention(nn.Module):

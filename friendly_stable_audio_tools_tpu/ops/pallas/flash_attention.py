@@ -54,6 +54,13 @@ DEFAULT_BLOCK_K = 512
 SINGLE_DOT_MAX_TK = 8192
 NEG_INF = -1e30
 
+# Softmax runs in base 2: the VPU's transcendental unit computes exp(x) as
+# exp2(x * log2(e)) with an extra per-element multiply; folding log2(e) into
+# the score scale (one scalar) removes that multiply from every element of
+# every [bq, t_k] tile. All in-kernel softmax stats (m, lse) live in base-2
+# space; exp(s*scale - lse_e) == exp2(s*scale*LOG2E - lse_2) exactly.
+LOG2E = 1.4426950408889634
+
 
 def _apply_rope_tile(t_ref, c_ref, s_ref, p_ref):
     """Reference partial rotary (transformer.py:164-183) on a VMEM tile:
@@ -76,12 +83,12 @@ def _single_dot_core(q, k, v_ref, o_ref, lse_ref, *, scale: float, kv_len: int,
     normalization on the output."""
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
+    ) * (scale * LOG2E)
     if kv_len < k.shape[0]:
         kpos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(kpos < kv_len, s, NEG_INF)
     m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
+    p = jnp.exp2(s - m)
     l = jnp.sum(p, axis=1, keepdims=True)
     acc = jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[:], (((1,), (0,)), ((), ())),
@@ -89,7 +96,7 @@ def _single_dot_core(q, k, v_ref, o_ref, lse_ref, *, scale: float, kv_len: int,
     )
     o_ref[:] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
     if save_stats:
-        lse_ref[:] = jnp.broadcast_to(m + jnp.log(jnp.maximum(l, 1e-30)), lse_ref.shape)
+        lse_ref[:] = jnp.broadcast_to(m + jnp.log2(jnp.maximum(l, 1e-30)), lse_ref.shape)
 
 
 def _single_dot_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float, kv_len: int,
@@ -124,7 +131,7 @@ def _online_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int, causal:
         k = k_ref[pl.ds(j * block_k, block_k), :]
         v = v_ref[pl.ds(j * block_k, block_k), :]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+                                preferred_element_type=jnp.float32) * (scale * LOG2E)
         k_pos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
         if causal:
             q_pos = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 0)
@@ -132,8 +139,8 @@ def _online_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int, causal:
         if kv_len % block_k != 0 or kv_len < t_k:
             s = jnp.where(k_pos < kv_len, s, NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
+        p = jnp.exp2(s - m_new)
+        alpha = jnp.exp2(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc_new = acc * alpha + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -153,7 +160,7 @@ def _online_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int, causal:
 
     o_ref[:] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
     if save_stats:
-        lse_ref[:] = jnp.broadcast_to(m + jnp.log(jnp.maximum(l, 1e-30)), lse_ref.shape)
+        lse_ref[:] = jnp.broadcast_to(m + jnp.log2(jnp.maximum(l, 1e-30)), lse_ref.shape)
 
 
 STAT_LANES = 128  # lse stored broadcast over one lane tile (layout-friendly)
@@ -319,14 +326,14 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, stats_ref, dq_ref, *,
         k = k_ref[pl.ds(j * BWD_CHUNK, BWD_CHUNK), :]
         v = v_ref[pl.ds(j * BWD_CHUNK, BWD_CHUNK), :]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+                                preferred_element_type=jnp.float32) * (scale * LOG2E)
         k_pos = j * BWD_CHUNK + jax.lax.broadcasted_iota(jnp.int32, (bq, BWD_CHUNK), 1)
         if causal:
             q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (bq, BWD_CHUNK), 0)
             s = jnp.where(k_pos <= q_pos, s, NEG_INF)
         if kv_len % BWD_CHUNK != 0 or kv_len < t_kp:
             s = jnp.where(k_pos < kv_len, s, NEG_INF)
-        p = jnp.exp(s - lse)
+        p = jnp.exp2(s - lse)  # lse is base-2 (see LOG2E note at top)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = (p * (dp - dcap) * scale).astype(q.dtype)
@@ -359,14 +366,14 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, stats_ref, dk_ref, dv_ref, *,
         lse = stats_ref[pl.ds(i * BWD_CHUNK, BWD_CHUNK), :1]
         dcap = stats_ref[pl.ds(i * BWD_CHUNK, BWD_CHUNK), 1:2]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+                                preferred_element_type=jnp.float32) * (scale * LOG2E)
         k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (BWD_CHUNK, bk), 1)
         if causal:
             q_pos = i * BWD_CHUNK + jax.lax.broadcasted_iota(jnp.int32, (BWD_CHUNK, bk), 0)
             s = jnp.where(k_pos <= q_pos, s, NEG_INF)
         if kv_len % block_k != 0 or kv_len < total_k:
             s = jnp.where(k_pos < kv_len, s, NEG_INF)
-        p = jnp.exp(s - lse)  # padded q rows have do = 0, so they contribute 0
+        p = jnp.exp2(s - lse)  # base-2 lse; padded q rows have do = 0 -> contribute 0
         pb = p.astype(do.dtype)
         dv = dv + jax.lax.dot_general(pb, do, (((0,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
@@ -412,7 +419,7 @@ def _flash_backward(q, k, v, out, lse, g, causal, block_q, block_k, kv_len=None)
     kp = jnp.pad(k, ((0, 0), (0, pk), (0, 0)))
     vp = jnp.pad(v, ((0, 0), (0, pk), (0, 0)))
     # lse comes padded to the forward's q padding; re-pad to bwd alignment.
-    # padded q rows: lse = 0 -> p = exp(s) finite; their do rows are zero.
+    # padded q rows: lse = 0 -> p = exp2(s) finite; their do rows are zero.
     lsep = jnp.pad(lse[:, :t_q], ((0, 0), (0, pq), (0, 0)))
     t_qp, t_kp = qp.shape[1], kp.shape[1]
 

@@ -12,10 +12,12 @@ across the inner dimension; value/gate projections, the silu-mul, and the
 out-projection partial product all happen on VMEM tiles. The GLU
 intermediate never touches HBM.
 
-Numerics match the unfused XLA chain: all dots are bf16 x bf16 -> fp32
-accumulate, and the value/gate tiles are rounded to bf16 before the
-silu-mul (exactly where the XLA chain's first GEMM output conversion
-rounds), so the fused path is bit-comparable to `GLU -> Dense`.
+Numerics track the unfused XLA chain closely but are NOT bit-exact: the
+dots are bf16 x bf16 -> fp32 accumulate and the value/gate tiles round to
+bf16 at the same points the XLA chain's GEMM outputs do (bias adds and the
+silu-mul run in bf16, sigmoid in fp32 then rounded), but Mosaic's and XLA's
+fp32 sigmoid implementations may differ in the last ulp. rel-l2 vs the XLA
+chain is bounded in tests/test_pallas_kernels.py.
 
 Weight layout: value kernel [K, inner], gate kernel [K, inner] (the two
 halves of the reference's doubled in-projection), out kernel [inner, K_out].
@@ -41,6 +43,35 @@ def _interpret() -> bool:
     return os.environ.get("FSAT_PALLAS_INTERPRET") == "1"
 
 
+def fused_mlp_enabled() -> bool:
+    """Route FeedForward's SwiGLU through the fused Pallas kernel.
+
+    Opt-in via FSAT_FUSED_MLP=1; FSAT_DISABLE_FUSED_MLP=1 forces off.
+    Off under FSAT_INT8_MATMUL (the int8 path owns those GEMMs) and on CPU
+    unless interpret mode is on (tests). Trace-time: both flags are in
+    utils/trace_flags.TRACE_TIME_ENV_FLAGS."""
+    import os
+
+    import jax
+
+    from ..quant import int8_matmul_enabled
+
+    if os.environ.get("FSAT_DISABLE_FUSED_MLP") == "1" or int8_matmul_enabled():
+        return False
+    if os.environ.get("FSAT_FUSED_MLP") != "1":
+        return False
+    return jax.default_backend() != "cpu" or _interpret()
+
+
+def pick_block_j(inner: int):
+    """Largest supported inner-dim block that tiles `inner` exactly, or None
+    when the kernel cannot run this shape (caller falls back to XLA)."""
+    for bj in (512, 1024, 256, 128):
+        if inner % bj == 0:
+            return bj
+    return None
+
+
 def _glu_mlp_kernel(x_ref, wv_ref, wg_ref, wo_ref, bv_ref, bg_ref,
                     o_ref, acc_ref, *, n_j: int):
     j = pl.program_id(1)
@@ -50,16 +81,18 @@ def _glu_mlp_kernel(x_ref, wv_ref, wg_ref, wo_ref, bv_ref, bg_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     x = x_ref[:]
+    dt = x.dtype
     v = jax.lax.dot_general(x, wv_ref[:], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     g = jax.lax.dot_general(x, wg_ref[:], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    v = v + bv_ref[:]
-    g = g + bg_ref[:]
-    # round to bf16 exactly where the unfused chain's in-GEMM output does
-    v = v.astype(jnp.bfloat16)
-    g = g.astype(jnp.bfloat16)
-    h = v * (g * jax.nn.sigmoid(g.astype(jnp.float32)).astype(jnp.bfloat16))
+    # match the unfused chain's rounding points: GEMM output rounds to the
+    # input dtype, then the bias add and silu-mul run in that dtype (flax
+    # Dense adds a promoted-dtype bias after the dot); sigmoid computes in
+    # fp32 and rounds, like XLA's upcast-compute-downcast bf16 elementwise
+    v = v.astype(dt) + bv_ref[:].astype(dt)
+    g = g.astype(dt) + bg_ref[:].astype(dt)
+    h = v * (g * jax.nn.sigmoid(g.astype(jnp.float32)).astype(dt))
     acc_ref[:] += jax.lax.dot_general(h, wo_ref[:], (((1,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
 
@@ -80,7 +113,10 @@ def _glu_mlp_impl(x, w_value, w_gate, w_out, b_value, b_gate,
         m *= d
     x2 = x.reshape(m, k)
 
-    bm = min(block_m, (m + 7) // 8 * 8)
+    # bf16 TPU tiling wants the second-to-minor block dim 16-aligned (an
+    # 8-only multiple like 2056 can fail Mosaic lowering or degrade)
+    align = 16 if x.dtype == jnp.bfloat16 else 8
+    bm = min(block_m, (m + align - 1) // align * align)
     bj = min(block_j, inner)
     assert inner % bj == 0, (inner, bj)
     n_j = inner // bj

@@ -95,10 +95,14 @@ class QuantDense(nn.Module):
     dtype: tp.Optional[tp.Any] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_kernel: bool = False):
         kernel = self.param("kernel", self.kernel_init, (x.shape[-1], self.features), self.param_dtype)
         bias = self.param("bias", self.bias_init, (self.features,), self.param_dtype) if self.use_bias else None
         x, kernel, bias = flax_dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
+        if return_kernel:
+            # fusion hook (ops/pallas/mlp.py): hand the promoted weights to a
+            # caller that runs the GEMM inside a fused kernel instead
+            return kernel, bias
         if int8_matmul_enabled():
             y = dynamic_int8_matmul(x, kernel)
         else:

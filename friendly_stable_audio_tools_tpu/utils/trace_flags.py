@@ -14,6 +14,7 @@ import os
 TRACE_TIME_ENV_FLAGS = (
     "FSAT_INT8_MATMUL",
     "FSAT_FUSED_ATTN",
+    "FSAT_FUSED_MLP",
     "FSAT_DISABLE_FUSED_MLP",
     "FSAT_PALLAS_CROSS",
     "FSAT_PALLAS_INTERPRET",

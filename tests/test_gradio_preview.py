@@ -72,3 +72,44 @@ def test_generate_cond_no_preview_returns_audio_only():
     assert isinstance(res, tuple) and len(res) == 2
     sr, audio = res
     assert sr == 16000 and audio.dtype == np.int16
+
+
+UNCOND_CFG = {
+    "model_type": "diffusion_uncond",
+    "sample_size": 256,
+    "sample_rate": 16000,
+    "audio_channels": 2,
+    "model": {
+        "pretransform": TINY_CFG["model"]["pretransform"],
+        "type": "dit",
+        "config": {
+            "in_channels": 8, "embed_dim": 32, "depth": 2, "num_heads": 4,
+            "transformer_type": "continuous_transformer",
+        },
+        "io_channels": 8,
+    },
+}
+
+
+def test_generate_uncond_preview_every():
+    """Uncond preview parity (reference gradio.py:210-306 takes
+    preview_every; sigma defaults 0.03/1000 per :214-216)."""
+    import inspect
+
+    sig = inspect.signature(ui.generate_uncond)
+    assert sig.parameters["sigma_min"].default == 0.03
+    assert sig.parameters["sigma_max"].default == 1000
+
+    ui.load_model(model_config=UNCOND_CFG)
+    res = ui.generate_uncond(steps=6, preview_every=2, seed=0)
+    assert isinstance(res, tuple) and len(res) == 2
+    (sr, audio), previews = res
+    assert sr == 16000 and audio.dtype == np.int16
+    assert len(previews) == 3
+    assert "Step 1" in previews[0][1] and "sigma=" in previews[0][1]
+
+    # no preview -> plain audio tuple
+    res = ui.generate_uncond(steps=4, seed=0)
+    assert isinstance(res, tuple) and len(res) == 2
+    sr, audio = res
+    assert sr == 16000 and audio.dtype == np.int16

@@ -109,78 +109,53 @@ def test_oobleck_encoder_conversion_numerically_exact():
     np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1), ref, rtol=1e-4, atol=1e-4)
 
 
-def test_dit_conversion_structure():
-    from friendly_stable_audio_tools_tpu.models.dit import DiffusionTransformer
+def test_dit_conversion_numeric_note():
+    """The DiT converter's numeric end-to-end check lives in
+    tests/test_transformer_torch_parity.py::test_dit_matches_torch_reference
+    (it reuses that file's torch reference modules). This placeholder pins
+    the import surface so a rename there fails loudly here too."""
+    from friendly_stable_audio_tools_tpu.models.dit import DiffusionTransformer  # noqa: F401
 
-    m = DiffusionTransformer(io_channels=4, embed_dim=32, depth=2, num_heads=4,
-                             cond_token_dim=8, global_cond_dim=12)
-    x = jnp.zeros((1, 8, 4))
-    t = jnp.ones((1,))
-    cond = jnp.zeros((1, 3, 8))
-    g = jnp.zeros((1, 12))
-    params = m.init(jax.random.PRNGKey(0), x, t, cross_attn_cond=cond, global_embed=g)["params"]
-    flat = _flatten_dict(params)
-
-    # build a torch-style state dict with the reference's names and the right
-    # (torch-layout) shapes from the flax tree
-    sd = {}
-    for k, v in flat.items():
-        v = np.asarray(v)
-        tk = k.replace("/", ".")
-        tk = tk.replace("transformer.layer", "transformer.layers.")
-        tk = tk.replace("layers.0.", "layers.0.").replace("layers.1.", "layers.1.")
-        # flax -> torch naming
-        tk = tk.replace(".ff.linear_in.proj.kernel", ".ff.ff.0.proj.weight")
-        tk = tk.replace(".ff.linear_in.proj.bias", ".ff.ff.0.proj.bias")
-        tk = tk.replace(".ff.linear_out.kernel", ".ff.ff.2.weight")
-        tk = tk.replace(".ff.linear_out.bias", ".ff.ff.2.bias")
-        tk = tk.replace(".kernel", ".weight")
-        if tk.endswith("timestep_features.weight"):
-            sd["model.model." + tk] = v
-            continue
-        if ".weight" in tk and v.ndim == 2:
-            v = v.T
-        elif ".weight" in tk and v.ndim == 3:
-            v = v.transpose(2, 1, 0)
-        sd["model.model." + tk] = v
-
-    converted = convert_dit_state_dict(sd, "model.model.")
-    conv_flat = _flatten_dict(converted)
-    missing = set(flat) - set(conv_flat)
-    assert not missing, sorted(missing)
-    for k in flat:
-        assert conv_flat[k].shape == np.asarray(flat[k]).shape, k
+    assert callable(convert_dit_state_dict)
 
 
-def test_t5_conversion_structure():
+@pytest.mark.parametrize("ff_proj", ["relu", "gated-gelu"])
+def test_t5_conversion_numeric(ff_proj):
+    """Tiny random-init HF T5EncoderModel -> convert_t5_encoder -> the native
+    flax T5Encoder reproduces HF outputs (reference pairing:
+    conditioners.py:261-346). Covers rescaled-attention absence (T5 attention
+    is UNscaled), relative-position buckets, RMSNorm placement, and both FF
+    variants (t5 relu / flan gated-gelu), with a padded attention mask."""
     from transformers import T5Config as HFT5Config
+    from transformers import T5EncoderModel
+
     from friendly_stable_audio_tools_tpu.models.t5 import T5Config, T5Encoder
 
-    cfg = T5Config(vocab_size=100, d_model=16, d_kv=4, d_ff=32, num_layers=2, num_heads=4)
+    hf_cfg = HFT5Config(
+        vocab_size=100, d_model=16, d_kv=4, d_ff=32, num_layers=2,
+        num_heads=4, feed_forward_proj=ff_proj, dropout_rate=0.0,
+        relative_attention_num_buckets=8, relative_attention_max_distance=20,
+    )
+    torch.manual_seed(0)
+    hf = T5EncoderModel(hf_cfg).eval()
+
+    ids = torch.tensor([[5, 17, 42, 3, 0, 0], [9, 1, 2, 4, 8, 99]])
+    mask = torch.tensor([[1, 1, 1, 1, 0, 0], [1, 1, 1, 1, 1, 1]])
+    with torch.no_grad():
+        ref = hf(input_ids=ids, attention_mask=mask).last_hidden_state.numpy()
+
+    params = convert_t5_encoder({k: v.numpy() for k, v in hf.state_dict().items()})
+    cfg = T5Config(vocab_size=100, d_model=16, d_kv=4, d_ff=32, num_layers=2,
+                   num_heads=4, feed_forward_proj=ff_proj,
+                   relative_attention_num_buckets=8, relative_attention_max_distance=20)
     enc = T5Encoder(cfg)
-    params = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 5), jnp.int32))["params"]
-    flat = _flatten_dict(params)
-
-    # synth HF-style state dict with the right shapes
-    sd = {
-        "shared.weight": np.zeros((100, 16), np.float32),
-        "encoder.final_layer_norm.weight": np.ones((16,), np.float32),
-    }
-    for n in range(2):
-        b = f"encoder.block.{n}"
-        for name in ("q", "k", "v"):
-            sd[f"{b}.layer.0.SelfAttention.{name}.weight"] = np.zeros((16, 16), np.float32)
-        sd[f"{b}.layer.0.SelfAttention.o.weight"] = np.zeros((16, 16), np.float32)
-        sd[f"{b}.layer.0.layer_norm.weight"] = np.ones((16,), np.float32)
-        sd[f"{b}.layer.1.DenseReluDense.wi.weight"] = np.zeros((32, 16), np.float32)
-        sd[f"{b}.layer.1.DenseReluDense.wo.weight"] = np.zeros((16, 32), np.float32)
-        sd[f"{b}.layer.1.layer_norm.weight"] = np.ones((16,), np.float32)
-    sd["encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"] = np.zeros((32, 4), np.float32)
-
-    converted = convert_t5_encoder(sd)
-    conv_flat = _flatten_dict(converted)
-    missing = set(flat) - set(conv_flat)
-    assert not missing, sorted(missing)
+    init = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))["params"]
+    assert set(_flatten_dict(init)) == set(_flatten_dict(params))
+    got = enc.apply({"params": jax.tree_util.tree_map(jnp.asarray, params)},
+                    jnp.asarray(ids.numpy()),
+                    attention_mask=jnp.asarray(mask.numpy()).astype(bool))
+    valid = mask.numpy().astype(bool)
+    np.testing.assert_allclose(np.asarray(got)[valid], ref[valid], rtol=1e-4, atol=1e-4)
 
 
 def test_convert_checkpoint_end_to_end(tmp_path):

@@ -206,3 +206,130 @@ def test_rope_matches_torch_reference():
     np.testing.assert_allclose(np.asarray(jfreqs), freqs.numpy(), rtol=1e-5, atol=1e-5)
     got = apply_rotary_pos_emb(jnp.asarray(t.numpy()), jfreqs)
     np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# DiT end-to-end: reference-shaped torch DiffusionTransformer ->
+# convert_dit_state_dict -> flax DiffusionTransformer, numerically
+# ---------------------------------------------------------------------------
+
+IO, GLOBAL_DIM = 8, 96
+
+
+class TFourier(nn.Module):
+    """reference dit.py FourierFeatures: f = 2*pi*x@W^T -> [cos, sin]."""
+
+    def __init__(self, in_f, out_f):
+        super().__init__()
+        self.weight = nn.Parameter(torch.randn(out_f // 2, in_f))
+
+    def forward(self, x):
+        f = 2 * math.pi * x @ self.weight.T
+        return torch.cat([f.cos(), f.sin()], dim=-1)
+
+
+class TDiTTransformer(nn.Module):
+    """ContinuousTransformer as the DiT drives it: project_in on x, prepend
+    token(s) BEFORE the layers, rotary over the full (prepend+seq) length."""
+
+    def __init__(self, dim, depth, dim_heads, dim_in, dim_out, cond_dim):
+        super().__init__()
+        self.project_in = nn.Linear(dim_in, dim, bias=False)
+        self.project_out = nn.Linear(dim, dim_out, bias=False)
+        nn.init.normal_(self.project_out.weight, std=0.05)  # de-zeroed
+        self.layers = nn.ModuleList(
+            [TBlock(dim, dim_heads, cond_dim) for _ in range(depth)])
+
+    def forward(self, x, prepend, context):
+        x = self.project_in(x)
+        x = torch.cat([prepend, x], dim=1)
+        n = x.shape[1]
+        inv_freq = 1.0 / (10000 ** (torch.arange(0, ROT_DIM, 2).float() / ROT_DIM))
+        t = torch.arange(n).float()
+        freqs = torch.einsum("i,j->ij", t, inv_freq)
+        freqs = torch.cat((freqs, freqs), dim=-1)
+        for layer in self.layers:
+            x = layer(x, context, freqs)
+        return self.project_out(x)
+
+
+class TDiT(nn.Module):
+    """Reference-shaped DiffusionTransformer (reference dit.py:14-365):
+    Fourier timestep -> MLP embed, cond/global projection MLPs,
+    global_cond_type='prepend', zero-init(-here-randomized) 1x1 conv
+    residuals, patch 1, CFG off. State-dict names follow the reference so
+    utils/torch_import.convert_dit_state_dict maps them."""
+
+    def __init__(self, io=IO, embed=DIM, depth=DEPTH, cond_dim=COND_DIM,
+                 global_dim=GLOBAL_DIM):
+        super().__init__()
+        self.timestep_features = TFourier(1, 256)
+        self.to_timestep_embed = nn.Sequential(
+            nn.Linear(256, embed), nn.SiLU(), nn.Linear(embed, embed))
+        self.to_cond_embed = nn.Sequential(
+            nn.Linear(cond_dim, embed, bias=False), nn.SiLU(),
+            nn.Linear(embed, embed, bias=False))
+        self.to_global_embed = nn.Sequential(
+            nn.Linear(global_dim, embed, bias=False), nn.SiLU(),
+            nn.Linear(embed, embed, bias=False))
+        self.preprocess_conv = nn.Conv1d(io, io, 1, bias=False)
+        self.postprocess_conv = nn.Conv1d(io, io, 1, bias=False)
+        nn.init.normal_(self.preprocess_conv.weight, std=0.05)
+        nn.init.normal_(self.postprocess_conv.weight, std=0.05)
+        self.transformer = TDiTTransformer(embed, depth, DIM_HEADS, io, io, embed)
+
+    def forward(self, x, t, cond, glob):  # x [B, C, T]
+        cond_e = self.to_cond_embed(cond)
+        ge = self.to_global_embed(glob) + self.to_timestep_embed(
+            self.timestep_features(t[:, None]))
+        x = self.preprocess_conv(x) + x
+        out = self.transformer(x.permute(0, 2, 1), ge[:, None, :], cond_e)
+        out = out[:, 1:, :].permute(0, 2, 1)
+        return self.postprocess_conv(out) + out
+
+
+def test_dit_matches_torch_reference():
+    """convert_dit_state_dict end-to-end numeric parity (retires the old
+    structure-only check): torch DiT forward == flax DiT forward on the same
+    weights, including the Fourier/MLP conditioning head and prepend token."""
+    from friendly_stable_audio_tools_tpu.models.dit import DiffusionTransformer
+    from friendly_stable_audio_tools_tpu.utils.torch_import import convert_dit_state_dict
+
+    torch.manual_seed(3)
+    tmodel = TDiT().eval()
+    x = torch.randn(2, IO, SEQ) * 0.5
+    t = torch.rand(2)
+    cond = torch.randn(2, CTX, COND_DIM) * 0.5
+    glob = torch.randn(2, GLOBAL_DIM) * 0.5
+    with torch.no_grad():
+        ref = tmodel(x, t, cond, glob).numpy()
+
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()
+          if not k.endswith(".beta")}
+    params = convert_dit_state_dict(sd, prefix="")
+
+    jmodel = DiffusionTransformer(
+        io_channels=IO, embed_dim=DIM, depth=DEPTH, num_heads=DIM // DIM_HEADS,
+        cond_token_dim=COND_DIM, global_cond_dim=GLOBAL_DIM,
+        transformer_type="continuous_transformer", global_cond_type="prepend",
+    )
+    init = jmodel.init(jax.random.PRNGKey(0), jnp.zeros((2, SEQ, IO)),
+                       jnp.zeros((2,)), cross_attn_cond=jnp.zeros((2, CTX, COND_DIM)),
+                       global_embed=jnp.zeros((2, GLOBAL_DIM)))["params"]
+    flat = lambda tree: {
+        "/".join(map(str, p)): np.asarray(v).shape
+        for p, v in jax.tree_util.tree_flatten_with_path(tree)[0]
+    }
+    fi, fc = flat(init), flat(params)
+    assert fi.keys() == fc.keys(), (
+        sorted(set(fi) - set(fc))[:6], sorted(set(fc) - set(fi))[:6])
+    for k in fi:
+        assert fi[k] == fc[k], (k, fi[k], fc[k])
+
+    got = jmodel.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, params)},
+        jnp.asarray(x.numpy().transpose(0, 2, 1)), jnp.asarray(t.numpy()),
+        cross_attn_cond=jnp.asarray(cond.numpy()),
+        global_embed=jnp.asarray(glob.numpy()))
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1), ref,
+                               rtol=3e-4, atol=3e-4)

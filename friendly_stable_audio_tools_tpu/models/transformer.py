@@ -107,7 +107,6 @@ class FeedForward(nn.Module):
                 x, w_in[:, :inner], w_in[:, inner:], w_out,
                 None if b_in is None else b_in[:inner],
                 None if b_in is None else b_in[inner:],
-                block_j=pick_block_j(inner),
             )
             if b_out is not None:
                 y = y + b_out

@@ -66,10 +66,44 @@ def fused_mlp_enabled() -> bool:
 def pick_block_j(inner: int):
     """Largest supported inner-dim block that tiles `inner` exactly, or None
     when the kernel cannot run this shape (caller falls back to XLA)."""
-    for bj in (512, 1024, 256, 128):
+    for bj in (2048, 1024, 512, 256, 128):
         if inner % bj == 0:
             return bj
     return None
+
+
+_VMEM_BUDGET = 72 * 2**20  # leave headroom under the 100 MB compiler limit
+
+
+def _vmem_bytes(bm: int, bj: int, k: int, k_out: int, itemsize: int) -> int:
+    # x block + fp32 acc + out block + double-buffered weight tiles (wv, wg, wo)
+    return (bm * k * itemsize + bm * k_out * 4 + bm * k_out * itemsize
+            + 2 * (2 * k * bj + bj * k_out) * itemsize)
+
+
+def pick_blocks(m: int, inner: int, k: int, k_out: int, itemsize: int = 2):
+    """Shape-aware (block_m, block_j) choice.
+
+    Measured on v5e at SAO DiT shapes (M=2052, K=1536, inner=6144): a single
+    M block with bj=2048 runs ~165 TFLOP/s vs ~139 for the unfused XLA chain,
+    while the old fixed bm=512 padded M 2052->2560 (+25% wasted rows) and
+    re-streamed weights per M block. Prefer one M block when it fits the
+    VMEM budget; otherwise shrink bj, then split M.
+    """
+    bj0 = pick_block_j(inner)
+    if bj0 is None:
+        return None, None
+    align = 16 if itemsize == 2 else 8
+    m_aligned = (m + align - 1) // align * align
+    for bm in (m_aligned, 2048, 1024, 512, 256):
+        if bm > m_aligned:
+            continue
+        bj = bj0
+        while bj >= 128:
+            if inner % bj == 0 and _vmem_bytes(bm, bj, k, k_out, itemsize) <= _VMEM_BUDGET:
+                return bm, bj
+            bj //= 2
+    return 256, min(bj0, 128 if inner % 128 == 0 else bj0)
 
 
 def _glu_mlp_kernel(x_ref, wv_ref, wg_ref, wo_ref, bv_ref, bg_ref,
@@ -184,15 +218,25 @@ _glu_mlp.defvjp(_glu_mlp_fwd, _glu_mlp_bwd)
 def glu_mlp(x: jnp.ndarray, w_value: jnp.ndarray, w_gate: jnp.ndarray,
             w_out: jnp.ndarray, b_value: jnp.ndarray = None,
             b_gate: jnp.ndarray = None,
-            block_m: int = 512, block_j: int = 512) -> jnp.ndarray:
+            block_m: int = None, block_j: int = None) -> jnp.ndarray:
     """x [..., K] -> ((x @ w_value + b_value) * silu(x @ w_gate + b_gate)) @ w_out.
 
     The GLU intermediate lives only in VMEM. The caller adds any output-
-    projection bias itself (it is a plain epilogue add).
+    projection bias itself (it is a plain epilogue add). Block sizes default
+    to the shape-aware `pick_blocks` choice (single M block where VMEM
+    allows — the measured-fastest config at SAO shapes).
     """
     inner = w_value.shape[1]
     if b_value is None:
         b_value = jnp.zeros((inner,), jnp.float32)
     if b_gate is None:
         b_gate = jnp.zeros((inner,), jnp.float32)
+    if block_m is None or block_j is None:
+        m = 1
+        for d in x.shape[:-1]:
+            m *= d
+        auto_bm, auto_bj = pick_blocks(m, inner, x.shape[-1], w_out.shape[1],
+                                       x.dtype.itemsize)
+        block_m = block_m or auto_bm
+        block_j = block_j or auto_bj
     return _glu_mlp(x, w_value, w_gate, w_out, b_value, b_gate, block_m, block_j)

@@ -172,15 +172,18 @@ class Attention(nn.Module):
         else:
             qkv = QuantDense(self.dim * 3, use_bias=False, param_dtype=jnp.float32, name="to_qkv")(x)
 
-            # Fused qkv-layout + rope + flash-attention path (opt-in via
-            # FSAT_FUSED_ATTN=1): applies rope on q/k VMEM tiles inside the
-            # kernel (ops/pallas/flash_attention.py). A/B on v5e measured it
-            # ~2% SLOWER end-to-end than rope-outside + standard flash at SAO
-            # shapes (3.77s vs 3.69s per 100-step gen), so it is off by
-            # default; kept for larger-head-dim / longer-seq configs where
-            # the saved rope HBM round trips dominate.
+            # Fused qkv-layout + rope + flash-attention path: applies rope on
+            # q/k VMEM tiles inside the kernel (ops/pallas/flash_attention.py).
+            # A/B on v5e: ~2% SLOWER than rope-outside + standard flash at SAO
+            # batch 1 (3.77s vs 3.69s per 100-step gen) but +9% at batch 4 —
+            # the saved qkv-split/head-transpose layout passes and rope HBM
+            # round trips scale with batch while the kernel's fixed costs
+            # don't. Dispatch is therefore batch-aware (auto at batch >= 4;
+            # the threshold is trace-time static — batch is a traced shape).
+            # FSAT_FUSED_ATTN=1 forces on, =0 forces off.
             import os as _os
 
+            _fused_env = _os.environ.get("FSAT_FUSED_ATTN")
             resolved_causal = self.causal if causal is None else causal
             if (
                 rotary_pos_emb is not None
@@ -191,7 +194,9 @@ class Attention(nn.Module):
                 and self.natten_kernel_size is None
                 and not resolved_causal
                 and self.self_kv_len is None
-                and _os.environ.get("FSAT_FUSED_ATTN") == "1"
+                and (_fused_env == "1"
+                     or (_fused_env != "0" and x.shape[0] >= 4
+                         and jax.default_backend() != "cpu"))
             ):
                 from ..ops.pallas.flash_attention import fused_qkv_rope_attention
 

@@ -126,6 +126,53 @@ def test_pipeline_transformer_blocks():
     np.testing.assert_allclose(np.asarray(y_pp), np.asarray(y_seq), rtol=3e-5, atol=3e-5)
 
 
+def test_pipeline_transformer_gradients_match_sequential():
+    """Training parity: grads w.r.t. the stacked TransformerBlock params
+    through the GPipe executor equal the sequential stack's grads (VERDICT
+    round-2 item 9: pipeline backward beyond smoke level)."""
+    from friendly_stable_audio_tools_tpu.models.transformer import TransformerBlock
+    from friendly_stable_audio_tools_tpu.ops.embeddings import rotary_freqs
+
+    depth, dim, heads_dim, batch, seq = 4, 32, 16, 4, 12
+    block = TransformerBlock(dim=dim, dim_heads=heads_dim)
+    x = jnp.asarray(np.random.default_rng(7).standard_normal((batch, seq, dim)), jnp.float32)
+    rot = rotary_freqs(seq, heads_dim // 2)
+
+    rng = jax.random.PRNGKey(9)
+    params = {}
+    for i in range(depth):
+        p = block.init(jax.random.fold_in(rng, i), x, rotary_pos_emb=rot)["params"]
+        leaves, treedef = jax.tree_util.tree_flatten(p)
+        keys = jax.random.split(jax.random.fold_in(rng, 100 + i), len(leaves))
+        leaves = [l + 0.05 * jax.random.normal(k, l.shape, l.dtype)
+                  for l, k in zip(leaves, keys)]
+        params[f"layer{i}"] = jax.tree_util.tree_unflatten(treedef, leaves)
+
+    block_fn = pipeline_transformer_block_fn(block, arg_names=("rotary_pos_emb",))
+    stacked = stack_layer_params(params, depth)
+    mesh = create_mesh(4, data=1, pipe=4)
+    tgt = jnp.asarray(np.random.default_rng(8).standard_normal((batch, seq, dim)), jnp.float32)
+
+    def loss_pp(stacked_p):
+        stage_p = shard_stage_params(stacked_p, mesh)
+        y = pipeline_apply(block_fn, stage_p, x, mesh, n_microbatches=4,
+                           broadcast_args=(rot,))
+        return jnp.mean((y - tgt) ** 2)
+
+    def loss_seq(p):
+        y = x
+        for i in range(depth):
+            y = block_fn(p[f"layer{i}"], y, rot)
+        return jnp.mean((y - tgt) ** 2)
+
+    l_pp, g_pp = jax.value_and_grad(loss_pp)(stacked)
+    l_seq, g_seq_tree = jax.value_and_grad(loss_seq)(params)
+    np.testing.assert_allclose(float(l_pp), float(l_seq), rtol=1e-5)
+    g_seq = stack_layer_params(g_seq_tree, depth)
+    for a, b in zip(jax.tree_util.tree_leaves(g_pp), jax.tree_util.tree_leaves(g_seq)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+
+
 def test_pipeline_full_continuous_transformer():
     """pipeline_continuous_transformer == the module's own forward, with
     cross-attention context, adaLN global cond, prepend tokens, and

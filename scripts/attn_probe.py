@@ -159,9 +159,9 @@ def probe_kernel_variants():
     from friendly_stable_audio_tools_tpu.ops.pallas.flash_attention import (
         flash_attention,
     )
-    q1 = q_raw
-    k1 = k[:, :TQ_RAW]
-    v1 = v[:, :TQ_RAW]
+    q1 = q_raw.reshape(2, BH // 2, TQ_RAW, D)
+    k1 = k[:, :TQ_RAW].reshape(2, BH // 2, TQ_RAW, D)
+    v1 = v[:, :TQ_RAW].reshape(2, BH // 2, TQ_RAW, D)
     dt_s = timeit_loop(lambda q: flash_attention(q, k1, v1), q1)
     emit(probe="attn_production", ms=round(dt_s * 1e3, 4),
          tflops_eq=round(FLOPS / dt_s / 1e12, 1))

@@ -172,15 +172,14 @@ class Attention(nn.Module):
         else:
             qkv = QuantDense(self.dim * 3, use_bias=False, param_dtype=jnp.float32, name="to_qkv")(x)
 
-            # Fused qkv-layout + rope + flash-attention path: applies rope on
-            # q/k VMEM tiles inside the kernel (ops/pallas/flash_attention.py).
-            # A/B on v5e: ~2% SLOWER than rope-outside + standard flash at SAO
-            # batch 1 (3.77s vs 3.69s per 100-step gen) but +9% at batch 4 —
-            # the saved qkv-split/head-transpose layout passes and rope HBM
-            # round trips scale with batch while the kernel's fixed costs
-            # don't. Dispatch is therefore batch-aware (auto at batch >= 4;
-            # the threshold is trace-time static — batch is a traced shape).
-            # FSAT_FUSED_ATTN=1 forces on, =0 forces off.
+            # Fused qkv-layout + rope + flash-attention path
+            # (ops/pallas/flash_attention.py): at head_dim 64 / even heads the
+            # head-PAIR kernel reads qkv and writes the output in native
+            # [B, T, C] layout — no head split/merge transposes, no separate
+            # rope HBM passes. A/B on v5e at SAO shapes: 3.21 -> 3.06 s per
+            # 100-step CFG generation at batch 1, +9% at batch 4. Default ON
+            # for eligible self-attention on TPU; FSAT_FUSED_ATTN=0 forces
+            # off, =1 forces on (e.g. for CPU-interpret parity runs).
             import os as _os
 
             _fused_env = _os.environ.get("FSAT_FUSED_ATTN")
@@ -195,7 +194,7 @@ class Attention(nn.Module):
                 and not resolved_causal
                 and self.self_kv_len is None
                 and (_fused_env == "1"
-                     or (_fused_env != "0" and x.shape[0] >= 4
+                     or (_fused_env != "0"
                          and jax.default_backend() != "cpu"))
             ):
                 from ..ops.pallas.flash_attention import fused_qkv_rope_attention

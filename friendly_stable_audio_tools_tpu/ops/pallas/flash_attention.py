@@ -653,15 +653,181 @@ def _use_xla_fallback() -> bool:
     return jax.default_backend() == "cpu" and not _interpret()
 
 
+def _rope_arr(x, c, s, p):
+    """Array form of _apply_rope_tile (same math/rounding): rope(x) =
+    x*C + (x@P)*S in fp32, returned bf16 for the MXU."""
+    rot = jax.lax.dot(x.astype(jnp.bfloat16), p.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+    return (x.astype(jnp.float32) * c + rot * s).astype(jnp.bfloat16)
+
+
+def _fused_pair_kernel(q2_ref, k2_ref, v2_ref, cq_ref, sq_ref, ck_ref, sk_ref,
+                       p2_ref, o_ref, *, kv_len: int, block_q: int, d: int):
+    """Two heads per program (their 2*d = 128 columns form one lane-aligned
+    block of the qkv tensor). Rope runs on the full 128-lane pair in ONE MXU
+    dot (block-diagonal rotate-half matrix); the per-head score/PV dots then
+    slice 64-lane halves in VMEM — far cheaper than the HBM head-split
+    transposes this kernel replaces. q tables arrive pre-multiplied by
+    scale*LOG2E (free prescale, see _single_dot_rope_kernel)."""
+    t_p = k2_ref.shape[0]
+    q2 = _rope_arr(q2_ref[:], cq_ref[:], sq_ref[:], p2_ref[:])
+    k2 = _rope_arr(k2_ref[:], ck_ref[:], sk_ref[:], p2_ref[:])
+    v2 = v2_ref[:]
+    n_q = q2.shape[0] // block_q
+    for j in range(2):
+        k = k2[:, j * d:(j + 1) * d]
+        v = v2[:, j * d:(j + 1) * d]
+        for qi in range(n_q):
+            q = q2[qi * block_q:(qi + 1) * block_q, j * d:(j + 1) * d]
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            if kv_len < t_p:
+                kpos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                s = jnp.where(kpos < kv_len, s, NEG_INF)
+            m = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp2(s - m)
+            l = jnp.sum(p, axis=1, keepdims=True)
+            acc = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            o_ref[qi * block_q:(qi + 1) * block_q, j * d:(j + 1) * d] = (
+                acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _fused_pair_forward(qkv, freqs, num_heads: int):
+    """Inference fast path: per-head-PAIR BlockSpec fetches straight from the
+    [B, T, 3HD] qkv tensor and direct [B, T, HD] output writes — the only
+    HBM layout op left is one pad of qkv to a 128-aligned length (padded K
+    columns are masked via kv_len; padded V rows multiply exactly-zero
+    probabilities, and the pad keeps them finite)."""
+    b, t, three_hd = qkv.shape
+    d = three_hd // (3 * num_heads)
+    g = num_heads // 2          # head pairs = 128-lane column blocks
+    scale = 1.0 / math.sqrt(d)
+    prescale = scale * LOG2E
+
+    # the kernel is bf16 throughout (rope rounds q/k to bf16 for the MXU in
+    # every variant; V follows the module's bf16 design) — fp32 callers
+    # (param-init traces) would double every VMEM fetch and blow the 16 MB
+    # scoped budget at [1152, 4608]-scale operands
+    in_dtype = qkv.dtype
+    if in_dtype != jnp.bfloat16:
+        qkv = qkv.astype(jnp.bfloat16)
+
+    t_p = (t + 127) // 128 * 128
+    if t_p != t:
+        qkv = jnp.pad(qkv, ((0, 0), (0, t_p - t), (0, 0)))
+
+    # q-block: bound the fp32 score tile (block_q x t_p) to ~2.7 MB
+    n_q = max(1, -(-(t_p * t_p * 4) // (3 * 2**20)))
+    while t_p % n_q or (t_p // n_q) % 16:
+        n_q += 1
+    block_q = t_p // n_q
+
+    cos, sin, p_mat = _rope_tables(freqs, d, t)
+    pad = ((0, t_p - t), (0, 0))
+    cq = jnp.concatenate([jnp.pad(cos * prescale, pad, constant_values=prescale)] * 2, axis=1)
+    sq = jnp.concatenate([jnp.pad(sin * prescale, pad)] * 2, axis=1)
+    ck = jnp.concatenate([jnp.pad(cos, pad, constant_values=1.0)] * 2, axis=1)
+    sk = jnp.concatenate([jnp.pad(sin, pad)] * 2, axis=1)
+    p2 = jax.scipy.linalg.block_diag(p_mat, p_mat)
+
+    kernel = functools.partial(_fused_pair_kernel, kv_len=t, block_q=block_q, d=d)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, g),
+        interpret=_interpret(),
+        in_specs=[
+            pl.BlockSpec((None, t_p, 2 * d), lambda b_, g_: (b_, 0, g_)),
+            pl.BlockSpec((None, t_p, 2 * d), lambda b_, g_, _g=g: (b_, 0, _g + g_)),
+            pl.BlockSpec((None, t_p, 2 * d), lambda b_, g_, _g=g: (b_, 0, 2 * _g + g_)),
+            pl.BlockSpec((t_p, 2 * d), lambda b_, g_: (0, 0)),
+            pl.BlockSpec((t_p, 2 * d), lambda b_, g_: (0, 0)),
+            pl.BlockSpec((t_p, 2 * d), lambda b_, g_: (0, 0)),
+            pl.BlockSpec((t_p, 2 * d), lambda b_, g_: (0, 0)),
+            pl.BlockSpec((2 * d, 2 * d), lambda b_, g_: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, t_p, 2 * d), lambda b_, g_: (b_, 0, g_)),
+        out_shape=jax.ShapeDtypeStruct((b, t_p, num_heads * d), qkv.dtype),
+    )(qkv, qkv, qkv, cq, sq, ck, sk, p2)
+    return out[:, :t].astype(in_dtype)
+
+
+def _fused_unpack(qkv, freqs, num_heads: int):
+    """Training-path layout: split + head transpose + rope outside (the FA2
+    backward kernels recompute scores from post-rope tensors)."""
+    b, t, three_hd = qkv.shape
+    d = three_hd // (3 * num_heads)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(x):
+        return x.reshape(b, t, num_heads, d).transpose(0, 2, 1, 3)
+
+    q, k, v = heads(q), heads(k), heads(v)
+    return _rope_outside(q, freqs), _rope_outside(k, freqs), v
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _fused_pair(qkv, freqs, num_heads):
+    return _fused_pair_forward(qkv, freqs, num_heads)
+
+
+def _fused_pair_fwd(qkv, freqs, num_heads):
+    b, t, _ = qkv.shape
+    d = qkv.shape[-1] // (3 * num_heads)
+    qr, kr, v = _fused_unpack(qkv, freqs, num_heads)
+    flat = lambda x: x.reshape(b * num_heads, t, d)
+    out, lse = _flash_forward(flat(qr), flat(kr), flat(v), False,
+                              DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K, save_stats=True)
+    merged = (out[:, :t].reshape(b, num_heads, t, d)
+              .transpose(0, 2, 1, 3).reshape(b, t, num_heads * d))
+    return merged, (qr, kr, v, out[:, :t], lse, freqs)
+
+
+def _fused_pair_bwd(num_heads, res, g):
+    qr, kr, v, out, lse, freqs = res
+    b, _, t, d = qr.shape
+    flat = lambda x: x.reshape(b * num_heads, t, d)
+    go = g.reshape(b, t, num_heads, d).transpose(0, 2, 1, 3)
+    dqr, dkr, dv = _flash_backward(flat(qr), flat(kr), flat(v), flat(out), lse,
+                                   flat(go), False, DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K)
+    cos, sin, p = _rope_tables(freqs, d, t)
+    pt = p.T
+
+    def unrope(dy):
+        dy32 = dy.astype(jnp.float32)
+        return (dy32 * cos + (dy32 * sin) @ pt).astype(dy.dtype)
+
+    def merge(x):
+        return (x.reshape(b, num_heads, t, d).transpose(0, 2, 1, 3)
+                .reshape(b, t, num_heads * d))
+
+    dqkv = jnp.concatenate([merge(unrope(dqr)), merge(unrope(dkr)),
+                            merge(dv)], axis=-1)
+    # non-trainable rotary tables: zero cotangent by definition (see
+    # _flash_rope_bwd)
+    return dqkv, jnp.zeros_like(freqs)
+
+
+_fused_pair.defvjp(_fused_pair_fwd, _fused_pair_bwd)
+
+
 def fused_qkv_rope_attention(qkv, freqs, num_heads: int,
                              block_q: int = DEFAULT_BLOCK_Q):
     """qkv: [B, T, 3*H*D] (fused Dense output, q|k|v concatenated),
     freqs: [T', rot_dim] rotary angles (last T rows used) -> [B, T, H*D].
 
     Non-causal full self-attention with the reference's fp32 partial rotary
-    fused into the attention kernel (no separate rope HBM pass)."""
+    (transformer.py:164-183) fused into the attention kernel. At head_dim 64
+    with an even head count and a moderate sequence, the head-pair kernel
+    (_fused_pair_forward) reads qkv and writes the output in their NATIVE
+    [B, T, C] layouts — no head split/merge transposes touch HBM at all."""
     b, t, three_hd = qkv.shape
     d = three_hd // (3 * num_heads)
+
+    if (not _use_xla_fallback()) and d == 64 and num_heads % 2 == 0 \
+            and t <= 2048:
+        return _fused_pair(qkv, freqs, num_heads)
+
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
     def heads(x):

@@ -34,15 +34,36 @@ def _interpret() -> bool:
     return os.environ.get("FSAT_PALLAS_INTERPRET") == "1"
 
 
+# snake(x) = x + inv_beta * sin^2(alpha x). The v5e VPU runs fp32 cos at only
+# ~40 Gelem/s (scripts/cos_probe.py) — ~6.7 ms of every c=128 residual unit's
+# 10.4 ms was pure transcendental time. In-kernel we evaluate sin^2 via range
+# reduction + a degree-5 minimax polynomial in s^2 (s = frac-centered a*x/pi):
+# 13 mul/adds, bandwidth-bound, max abs error 2.3e-7 in fp32 — three orders
+# of magnitude below the bf16 resolution the activation is cast to. The XLA
+# fallback (`FSAT_DISABLE_PALLAS_CONV=1`) keeps the exact-cos form.
+_INV_PI = 0.3183098861837907
+_SIN2_C = (9.869603239633658, -32.469601846083854, 42.72581061829601,
+           -30.089709323462305, 13.005597445194748, -3.2946440864775366)
+
+
+def _snake(x, alpha, inv_beta):
+    """x + inv_beta * sin^2(alpha * x), fp32, polynomial sin^2 (see above)."""
+    v = x * (alpha * _INV_PI)
+    s = v - jnp.round(v)
+    w = s * s
+    p = _SIN2_C[5]
+    for c in (_SIN2_C[4], _SIN2_C[3], _SIN2_C[2], _SIN2_C[1], _SIN2_C[0]):
+        p = p * w + c
+    return x + inv_beta * (w * p)
+
+
 def _kernel(x_cur, x_nxt, w_ref, b_ref, ab_ref, o_ref, xcat_ref, *, k: int, dilation: int,
             block_t: int, use_snake: bool):
     halo = (k - 1) * dilation
     x = jnp.concatenate([x_cur[:], x_nxt[:halo]], axis=0) if halo else x_cur[:]
     x = x.astype(jnp.float32)
     if use_snake:
-        alpha = ab_ref[0, :]
-        inv_beta = ab_ref[1, :]
-        x = x + 0.5 * inv_beta * (1.0 - jnp.cos(2.0 * alpha * x))
+        x = _snake(x, ab_ref[0, :], ab_ref[1, :])
     # compute the conv in the model dtype like the XLA reference (which casts
     # w to x.dtype): bf16 operands keep the MXU in single-pass mode — fp32
     # dots drop it to multi-pass and measured 3-6x slower at decoder shapes
@@ -210,9 +231,7 @@ def _upk_kernel(x_cur, x_halo, wa_ref, wb_ref, b_ref, ab_ref, o_ref, *,
     # xt rows map to x[q-1 .. q+block_t]: x_cur starts at q-1 (input shifted
     # left by one), so row i corresponds to x[tile_start - 1 + i]
     if use_snake:
-        alpha = ab_ref[0, :]
-        inv_beta = ab_ref[1, :]
-        xt = xt + 0.5 * inv_beta * (1.0 - jnp.cos(2.0 * alpha * xt))
+        xt = _snake(xt, ab_ref[0, :], ab_ref[1, :])
     xt = xt.astype(wa_ref.dtype)
     x_m1 = xt[0:block_t]          # x[q-1]
     x_0 = xt[1 : block_t + 1]     # x[q]
@@ -365,8 +384,7 @@ def _ru_kernel(x_cur, x_nxt, w1_ref, b1_ref, ab1_ref, w2_ref, b2_ref, ab2_ref,
     # x_cur starts `padding` rows BEFORE the tile (conv window alignment);
     # the residual must be the unshifted tile rows
     res = x[padding : padding + block_t]
-    a1, ib1 = ab1_ref[0, :], ab1_ref[1, :]
-    x = x + 0.5 * ib1 * (1.0 - jnp.cos(2.0 * a1 * x))
+    x = _snake(x, ab1_ref[0, :], ab1_ref[1, :])
     # cast to the model dtype BEFORE the dots, exactly like the XLA reference
     # (_ru_xla casts snake output to x.dtype before each conv): fp32 MXU
     # operands run multi-pass, measured 2-3x slower at decoder shapes
@@ -377,8 +395,7 @@ def _ru_kernel(x_cur, x_nxt, w1_ref, b1_ref, ab1_ref, w2_ref, b2_ref, ab2_ref,
     w1 = w1_ref[:].reshape(k * cin, w1_ref.shape[2]).astype(o_ref.dtype)
     h = jax.lax.dot_general(xcat_ref[:], w1, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32) + b1_ref[0, :]
-    a2, ib2 = ab2_ref[0, :], ab2_ref[1, :]
-    h = h + 0.5 * ib2 * (1.0 - jnp.cos(2.0 * a2 * h))
+    h = _snake(h, ab2_ref[0, :], ab2_ref[1, :])
     h = h.astype(o_ref.dtype)
     y = jax.lax.dot_general(h, w2_ref[:].astype(o_ref.dtype), (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32) + b2_ref[0, :]

@@ -72,12 +72,16 @@ def pick_block_j(inner: int):
     return None
 
 
-_VMEM_BUDGET = 72 * 2**20  # leave headroom under the 100 MB compiler limit
+_VMEM_BUDGET = 88 * 2**20  # leave headroom under the 100 MB compiler limit
 
 
 def _vmem_bytes(bm: int, bj: int, k: int, k_out: int, itemsize: int) -> int:
-    # x block + fp32 acc + out block + double-buffered weight tiles (wv, wg, wo)
-    return (bm * k * itemsize + bm * k_out * 4 + bm * k_out * itemsize
+    # Pallas double-buffers EVERY grid-indexed block, not just the weight
+    # tiles: 2x x block + fp32 acc scratch + 2x out block + 2x weight tiles
+    # (wv, wg, wo). Counting x/out single-buffered underestimated fp32
+    # shapes by ~2x and OOM'd the 100 MB scoped-vmem limit at init-trace
+    # (fp32) batch-8 DiT shapes.
+    return (2 * bm * k * itemsize + bm * k_out * 4 + 2 * bm * k_out * itemsize
             + 2 * (2 * k * bj + bj * k_out) * itemsize)
 
 

@@ -161,7 +161,9 @@ def probe_step(n=5):
 
     _, dit = build_models()
     rng = jax.random.PRNGKey(0)
-    for batch in (1, 8):
+    batches = tuple(int(b) for b in
+                    os.environ.get("PROBE_BATCHES", "1,8").split(","))
+    for batch in batches:
         x0 = jnp.zeros((batch, 1024, 64), jnp.bfloat16)
         t0 = jnp.zeros((batch,), jnp.float32)
         cond = jax.random.normal(jax.random.fold_in(rng, 1), (batch, 130, 768), jnp.bfloat16) * 0.02
@@ -230,7 +232,8 @@ def probe_block(n=5):
     from friendly_stable_audio_tools_tpu.ops.attention import scaled_dot_product_attention
 
     rng = jax.random.PRNGKey(0)
-    b, t, dim, heads, dh = 2, 1026, 1536, 24, 64
+    b = int(os.environ.get("PROBE_BLOCK_BATCH", "2"))  # CFG-doubled batch
+    t, dim, heads, dh = 1026, 1536, 24, 64
     block = TransformerBlock(dim=dim, dim_heads=dh, cross_attend=True, dim_context=768)
     x = jax.random.normal(rng, (b, t, dim), jnp.bfloat16) * 0.1
     ctx = jax.random.normal(jax.random.fold_in(rng, 1), (b, 130, 768), jnp.bfloat16) * 0.1
@@ -259,13 +262,14 @@ def probe_block(n=5):
     def gemms(x, w_qkv, w_out, w_cq, w_co, w_in, w_o2):
         qkv = x @ w_qkv
         a = qkv[..., :dim] @ w_out
-        cq = (a[:1] @ w_cq) @ w_co  # cross q/out on the cond half only
+        cq = (a[: b // 2] @ w_cq) @ w_co  # cross q/out on the cond half only
         h = a + jnp.concatenate([cq, jnp.zeros_like(cq)], 0)
         g = h @ w_in
         y = (g[..., : 4 * dim] * jax.nn.silu(g[..., 4 * dim:])) @ w_o2
         return h + y
 
-    flops = 2 * b * t * dim * (3 * dim + dim + 8 * dim) + 2 * b * t * 4 * dim * dim + 2 * t * dim * 2 * dim
+    flops = (2 * b * t * dim * (3 * dim + dim + 8 * dim)
+             + 2 * b * t * 4 * dim * dim + (b // 2) * 2 * t * dim * 2 * dim)
     tg = timeit_loop(gemms, x, w_qkv, w_out, w_cq, w_co, w_in, w_o2, n=n)
     emit(probe="block_gemms", ms=round(tg * 1e3, 3), step24_ms=round(tg * 24e3, 2),
          tflops=round(flops / tg / 1e12, 1))

@@ -142,7 +142,8 @@ def probe_kernel_variants():
                          np.float32)[:, :TQ_RAW]
         modes = ("full", "prescaled", "full_kt", "prescaled_kt",
                  "dots_only", "dots_only_kt") if tq == 1152 else \
-                ("full", "prescaled", "prescaled_kt")
+                ("full", "prescaled", "prescaled_kt",
+                 "prescaled_poly", "prescaled_bf16exp")
         for mode in modes:
             f = kernel_variant(mode, tq, tk)
             qin = q * (SCALE * LOG2E) if mode.startswith("prescaled") else q
@@ -168,10 +169,10 @@ def probe_kernel_variants():
 
     # XLA fused attention (fp32 softmax like ours)
     def xla_attn(q):
-        s = jnp.einsum("bid,bjd->bij", q, k1,
+        s = jnp.einsum("bhid,bhjd->bhij", q, k1,
                        preferred_element_type=jnp.float32) * SCALE
         p = jax.nn.softmax(s, axis=-1)
-        return jnp.einsum("bij,bjd->bid", p.astype(v1.dtype), v1,
+        return jnp.einsum("bhij,bhjd->bhid", p.astype(v1.dtype), v1,
                           preferred_element_type=jnp.float32).astype(q.dtype)
     dt_s = timeit_loop(xla_attn, q1)
     emit(probe="attn_xla", ms=round(dt_s * 1e3, 4),

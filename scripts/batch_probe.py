@@ -44,15 +44,16 @@ def probe_full_block():
     rot = rotary_freqs(T, 32)
     block = TransformerBlock(dim=DIM, dim_heads=DH, cross_attend=True,
                              dim_context=768)
+    params = block.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((2, T, DIM), jnp.bfloat16),
+        context=jnp.zeros((2, 130, 768), jnp.bfloat16),
+        rotary_pos_emb=rot)["params"]
+    params = jax.tree_util.tree_map(lambda l: l.astype(jnp.bfloat16), params)
     for b in (2, 16):
         x = jax.random.normal(rng, (b, T, DIM), jnp.bfloat16) * 0.1
         ctx = jax.random.normal(jax.random.fold_in(rng, 1), (b, 130, 768),
                                 jnp.bfloat16) * 0.1
-        if b == 2:
-            params = block.init(jax.random.PRNGKey(0), x, context=ctx,
-                                rotary_pos_emb=rot)["params"]
-            params = jax.tree_util.tree_map(
-                lambda l: l.astype(jnp.bfloat16), params)
         dt = timeit_loop(
             lambda x, p: block.apply({"params": p}, x, context=ctx,
                                      rotary_pos_emb=rot, cross_half_batch=True),

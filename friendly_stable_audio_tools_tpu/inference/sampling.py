@@ -58,6 +58,67 @@ def get_sigmas_polyexponential(n: int, sigma_min: float, sigma_max: float, rho: 
 
 
 # --------------------------------------------------------------------------
+# hybrid int8/bf16 schedule (TPU-only; no reference counterpart)
+# --------------------------------------------------------------------------
+
+
+def make_hybrid_quant_denoiser(denoiser, sigmas: np.ndarray, steps: int):
+    """Run part of the trajectory in bf16 when int8 matmuls are active.
+
+    With FSAT_INT8_MATMUL=1, FSAT_INT8_BF16_TAIL=N runs the sigma range
+    covered by the LAST N steps of the polyexponential grid in bf16 (the
+    low-sigma refinement steps, where quantization error lands directly in
+    the output), and FSAT_INT8_BF16_HEAD=M the FIRST M steps (the largest
+    denoising moves). The rest of the trajectory keeps int8's speed.
+
+    Both variants are traced into the same scan body as the two branches of
+    one `lax.cond` — `ops.quant.quant_override` forces the QuantDense path
+    per branch at trace time — so the schedule costs one extra model trace
+    at compile time and a predicate at run time, and the whole loop remains
+    a single XLA program. Thresholds compare sigma (scalar per step), so
+    mid-step evaluations (heun / dpm-2) follow their step's regime.
+    Error/speed frontier: docs/performance.md.
+    """
+    import os
+
+    from ..ops.quant import quant_override
+
+    if os.environ.get("FSAT_INT8_MATMUL") != "1":
+        return denoiser
+    tail = int(os.environ.get("FSAT_INT8_BF16_TAIL", "0") or 0)
+    head = int(os.environ.get("FSAT_INT8_BF16_HEAD", "0") or 0)
+    if tail <= 0 and head <= 0:
+        return denoiser
+    if tail + head >= steps:
+        def all_bf16(x, sigma):
+            with quant_override(False):
+                return denoiser(x, sigma)
+
+        return all_bf16
+
+    # sigmas is strictly decreasing; step i uses sigmas[i]. Last N steps are
+    # sigma <= sigmas[steps-N]; first M steps are sigma >= sigmas[M-1]. The
+    # 1e-6 relative slack keeps the boundary step on its intended side of the
+    # fp32 comparison.
+    lo = float(sigmas[steps - tail]) * (1 + 1e-6) if tail > 0 else -np.inf
+    hi = float(sigmas[head - 1]) * (1 - 1e-6) if head > 0 else np.inf
+
+    def hybrid(x, sigma):
+        def bf16_branch(x):
+            with quant_override(False):
+                return denoiser(x, sigma)
+
+        def int8_branch(x):
+            with quant_override(True):
+                return denoiser(x, sigma)
+
+        s = jnp.asarray(sigma, jnp.float32)
+        return jax.lax.cond(jnp.logical_or(s <= lo, s >= hi), bf16_branch, int8_branch, x)
+
+    return hybrid
+
+
+# --------------------------------------------------------------------------
 # v-objective denoiser (k-diffusion external.VDenoiser)
 # --------------------------------------------------------------------------
 
@@ -675,13 +736,17 @@ def sample_k(
         raise ValueError(f"Unknown sampler type {sampler_type}")
     rng = rng if rng is not None else jax.random.PRNGKey(0)
 
+    sigmas = get_sigmas_polyexponential(steps, sigma_min, sigma_max, rho)
+
     denoiser = make_v_denoiser(model_fn, extra_args)
+    # hybrid int8/bf16 schedule: for k-dpm-fast/-adaptive (which build their
+    # own step grids) the thresholds still come from this polyexponential
+    # grid — "last N steps" means that grid's sigma range.
+    denoiser = make_hybrid_quant_denoiser(denoiser, sigmas, steps)
     if cond_fn is not None:
         denoiser = make_cond_model_fn(denoiser, cond_fn)
     denoiser = make_step_hooked_denoiser(denoiser, verbose=verbose, callback=callback,
                                          total_steps=steps)
-
-    sigmas = get_sigmas_polyexponential(steps, sigma_min, sigma_max, rho)
     noise = noise.astype(jnp.float32) * float(sigmas[0])
 
     merge = None

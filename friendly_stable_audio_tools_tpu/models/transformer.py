@@ -60,7 +60,7 @@ class GLU(nn.Module):
 
     @nn.compact
     def __call__(self, x, return_weights: bool = False):
-        proj = QuantDense(self.dim_out * 2, param_dtype=jnp.float32, name="proj")
+        proj = QuantDense(self.dim_out * 2, param_dtype=jnp.float32, quant_tag="mlp", name="proj")
         if return_weights:
             # fused-MLP hook: hand the doubled in-projection weights to the
             # caller (FeedForward) for the Pallas glu_mlp kernel
@@ -87,7 +87,7 @@ class FeedForward(nn.Module):
         kinit = nn.initializers.zeros if self.zero_init_output else nn.initializers.lecun_normal()
         out_dense = QuantDense(
             dim_out, use_bias=not self.no_bias, kernel_init=kinit,
-            param_dtype=jnp.float32, name="linear_out",
+            param_dtype=jnp.float32, quant_tag="mlp", name="linear_out",
         )
 
         from ..ops.pallas.mlp import fused_mlp_enabled, pick_block_j
@@ -115,7 +115,7 @@ class FeedForward(nn.Module):
         if self.glu:
             x = GLU(self.dim, inner, name="linear_in")(x)
         else:
-            x = QuantDense(inner, use_bias=not self.no_bias, param_dtype=jnp.float32, name="linear_in")(x)
+            x = QuantDense(inner, use_bias=not self.no_bias, param_dtype=jnp.float32, quant_tag="mlp", name="linear_in")(x)
             x = jax.nn.silu(x)
         return out_dense(x)
 
@@ -166,11 +166,11 @@ class Attention(nn.Module):
             return t.reshape(b, n, heads, self.dim_heads).transpose(0, 2, 1, 3)
 
         if self.dim_context:
-            q = QuantDense(self.dim, use_bias=False, param_dtype=jnp.float32, name="to_q")(x)
-            kv = QuantDense(dim_kv * 2, use_bias=False, param_dtype=jnp.float32, name="to_kv")(kv_input)
+            q = QuantDense(self.dim, use_bias=False, param_dtype=jnp.float32, quant_tag="attn", name="to_q")(x)
+            kv = QuantDense(dim_kv * 2, use_bias=False, param_dtype=jnp.float32, quant_tag="attn", name="to_kv")(kv_input)
             k, v = jnp.split(kv, 2, axis=-1)
         else:
-            qkv = QuantDense(self.dim * 3, use_bias=False, param_dtype=jnp.float32, name="to_qkv")(x)
+            qkv = QuantDense(self.dim * 3, use_bias=False, param_dtype=jnp.float32, quant_tag="attn", name="to_qkv")(x)
 
             # Fused qkv-layout + rope + flash-attention path
             # (ops/pallas/flash_attention.py): at head_dim 64 / even heads the
@@ -203,7 +203,7 @@ class Attention(nn.Module):
                 kinit = (nn.initializers.zeros if self.zero_init_output
                          else nn.initializers.lecun_normal())
                 return QuantDense(self.dim, use_bias=False, kernel_init=kinit,
-                                  param_dtype=jnp.float32, name="to_out")(out)
+                                  param_dtype=jnp.float32, quant_tag="attn", name="to_out")(out)
 
             q, k, v = jnp.split(qkv, 3, axis=-1)
 
@@ -277,7 +277,7 @@ class Attention(nn.Module):
         b, _, n, _ = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
         kinit = nn.initializers.zeros if self.zero_init_output else nn.initializers.lecun_normal()
-        out = QuantDense(self.dim, use_bias=False, kernel_init=kinit, param_dtype=jnp.float32, name="to_out")(out)
+        out = QuantDense(self.dim, use_bias=False, kernel_init=kinit, param_dtype=jnp.float32, quant_tag="attn", name="to_out")(out)
 
         if mask is not None and not has_context:
             out = jnp.where(mask[:, :, None], out, 0.0)

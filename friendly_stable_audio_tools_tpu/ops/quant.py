@@ -28,6 +28,7 @@ bounds are pinned in tests/test_quant.py.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import typing as tp
 
@@ -36,9 +37,41 @@ import jax.numpy as jnp
 from flax import linen as nn
 from flax.linen import dtypes as flax_dtypes
 
+# Trace-time override used by the hybrid int8/bf16 sampler schedule
+# (inference/sampling.py): both `lax.cond` branches of the hybrid denoiser
+# trace the same model, one under quant_override(True) and one under
+# quant_override(False). None = defer to the FSAT_INT8_MATMUL env flag.
+_QUANT_OVERRIDE: tp.Optional[bool] = None
 
-def int8_matmul_enabled() -> bool:
-    return os.environ.get("FSAT_INT8_MATMUL") == "1"
+
+@contextlib.contextmanager
+def quant_override(enabled: tp.Optional[bool]):
+    """Force int8 matmuls on/off for code traced inside this context,
+    regardless of FSAT_INT8_MATMUL. Trace-time only (like the env flag)."""
+    global _QUANT_OVERRIDE
+    prev = _QUANT_OVERRIDE
+    _QUANT_OVERRIDE = enabled
+    try:
+        yield
+    finally:
+        _QUANT_OVERRIDE = prev
+
+
+def int8_matmul_enabled(tag: str = "") -> bool:
+    """Whether a projection tagged `tag` ("mlp" / "attn" / "") quantizes.
+
+    FSAT_INT8_SCOPE limits quantization to one projection family:
+    "mlp" (GLU in-proj + MLP out — ~3/4 of the transformer GEMM FLOPs) or
+    "attn" (qkv / kv / out). Empty/unset = all tagged projections.
+    """
+    if _QUANT_OVERRIDE is not None:
+        enabled = _QUANT_OVERRIDE
+    else:
+        enabled = os.environ.get("FSAT_INT8_MATMUL") == "1"
+    if not enabled:
+        return False
+    scope = os.environ.get("FSAT_INT8_SCOPE", "")
+    return scope in ("", tag)
 
 
 def quantize_weight_int8(w: jnp.ndarray) -> tp.Tuple[jnp.ndarray, jnp.ndarray]:
@@ -93,6 +126,7 @@ class QuantDense(nn.Module):
     bias_init: tp.Callable = nn.initializers.zeros
     param_dtype: tp.Any = jnp.float32
     dtype: tp.Optional[tp.Any] = None
+    quant_tag: str = ""  # "mlp" | "attn" — FSAT_INT8_SCOPE selector
 
     @nn.compact
     def __call__(self, x, return_kernel: bool = False):
@@ -103,7 +137,7 @@ class QuantDense(nn.Module):
             # fusion hook (ops/pallas/mlp.py): hand the promoted weights to a
             # caller that runs the GEMM inside a fused kernel instead
             return kernel, bias
-        if int8_matmul_enabled():
+        if int8_matmul_enabled(self.quant_tag):
             y = dynamic_int8_matmul(x, kernel)
         else:
             y = jax.lax.dot_general(

@@ -13,6 +13,9 @@ import os
 
 TRACE_TIME_ENV_FLAGS = (
     "FSAT_INT8_MATMUL",
+    "FSAT_INT8_SCOPE",
+    "FSAT_INT8_BF16_TAIL",
+    "FSAT_INT8_BF16_HEAD",
     "FSAT_FUSED_ATTN",
     "FSAT_FUSED_MLP",
     "FSAT_DISABLE_FUSED_MLP",

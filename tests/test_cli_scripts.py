@@ -100,6 +100,7 @@ def test_reconstruct_cli(tmp_path, tiny_vae_config):
     assert wavs, f"no reconstructions written; stdout={r.stdout[-800:]}"
 
 
+@pytest.mark.slow
 def test_train_then_unwrap_cli(tmp_path, tiny_cond_config):
     """Full workflow: train.py 2 steps on the example wav dataset, checkpoint
     every step, then unwrap_model.py exports EMA weights as safetensors."""
@@ -157,6 +158,7 @@ def test_train_then_unwrap_cli(tmp_path, tiny_cond_config):
     assert sorted(gen_dir.rglob("*.wav"))
 
 
+@pytest.mark.slow
 def test_train_autoencoder_cli(tmp_path):
     """AE GAN training (alternating gen/disc steps) through the train.py CLI
     on the example wav dataset."""

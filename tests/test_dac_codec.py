@@ -139,6 +139,7 @@ def test_quantizer_cosine_assignment_dequantizes_raw_entries():
     np.testing.assert_allclose(np.asarray(out[0, 0]), cb[5], rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_pretransform_dac_pretrained(tmp_path):
     """PretrainedDACPretransform: factory construction, checkpoint load via
     local_path, [B, C, T] tokenize/decode_tokens parity surface."""

@@ -27,6 +27,7 @@ def _wavs(save_dir, step):
     return sorted(f for f in os.listdir(d) if f.endswith(".wav")) if os.path.isdir(d) else []
 
 
+@pytest.mark.slow
 def test_autoencoder_demo_callback(tmp_path):
     from tests.test_autoencoder import tiny_ae
     from friendly_stable_audio_tools_tpu.models.bottleneck import VAEBottleneck

@@ -108,6 +108,7 @@ def test_codes_and_decode_match(hf_and_jax):
                                atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_pretransform_audiocraft(tmp_path):
     """Factory + local_path loading + [B, Q, L] token layout, full-size preset."""
     from safetensors.numpy import save_file

@@ -197,6 +197,7 @@ def _torch_pipeline(tdit, tdec, cond, glob, noise_btc, step_noises_btc, sigmas):
     return audio.numpy()
 
 
+@pytest.mark.slow
 def test_generate_diffusion_cond_matches_torch_composition():
     tdit, tdec, model = _build_models()
 

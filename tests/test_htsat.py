@@ -56,6 +56,7 @@ def hf_model(cfg: HTSATConfig):
 
 
 @pytest.mark.parametrize("enable_fusion", [False, True])
+@pytest.mark.slow
 def test_htsat_matches_hf(enable_fusion):
     cfg = tiny_cfg(enable_fusion)
     model = hf_model(cfg)

@@ -202,6 +202,7 @@ def test_flash_attention_rectangular_cross():
     np.testing.assert_allclose(np.asarray(gk1), np.asarray(gk2), atol=3e-3)
 
 
+@pytest.mark.slow
 def test_padded_sequence_path_matches_unpadded(monkeypatch):
     """ContinuousTransformer padded-sequence fast path (pad once to the lane
     multiple, kv_len-mask in attention, slice once) == unpadded math, forward

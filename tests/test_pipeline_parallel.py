@@ -126,6 +126,7 @@ def test_pipeline_transformer_blocks():
     np.testing.assert_allclose(np.asarray(y_pp), np.asarray(y_seq), rtol=3e-5, atol=3e-5)
 
 
+@pytest.mark.slow
 def test_pipeline_transformer_gradients_match_sequential():
     """Training parity: grads w.r.t. the stacked TransformerBlock params
     through the GPipe executor equal the sequential stack's grads (VERDICT

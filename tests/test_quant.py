@@ -98,6 +98,107 @@ def test_int8_transformer_forward_fidelity(int8_env, monkeypatch):
     assert rel < 0.05, rel
 
 
+def test_int8_scope_limits_quantized_projections(int8_env, monkeypatch):
+    """FSAT_INT8_SCOPE=mlp|attn quantizes only that projection family; the
+    two scopes are distinct programs and both differ from full-int8."""
+    from friendly_stable_audio_tools_tpu.models.transformer import ContinuousTransformer
+
+    model = ContinuousTransformer(
+        dim=128, depth=2, dim_heads=32, dim_in=32, dim_out=32,
+        cross_attend=True, cond_token_dim=64, global_cond_dim=128,
+    )
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 64, 32), jnp.float32)
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 12, 64), jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(2), (2, 128), jnp.float32)
+    params = _dezero(model.init(jax.random.PRNGKey(3), x, context=ctx, global_cond=g))
+
+    outs = {}
+    for scope in ("", "mlp", "attn"):
+        monkeypatch.setenv("FSAT_INT8_SCOPE", scope)
+        outs[scope] = np.asarray(model.apply(params, x, context=ctx, global_cond=g))
+    monkeypatch.delenv("FSAT_INT8_SCOPE", raising=False)
+    monkeypatch.setenv("FSAT_INT8_MATMUL", "0")
+    bf16 = np.asarray(model.apply(params, x, context=ctx, global_cond=g))
+
+    def rel(a, b):
+        return np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12)
+
+    # each scope engages (differs from bf16) but quantizes strictly less than
+    # the full path (differs from full-int8 too)
+    for scope in ("mlp", "attn"):
+        assert rel(outs[scope], bf16) > 0.0, scope
+        assert rel(outs[scope], outs[""]) > 0.0, scope
+        assert rel(outs[scope], bf16) < rel(outs[""], bf16) * 1.5
+    assert rel(outs[""], bf16) < 0.05
+
+
+def test_quant_override_beats_env_flag():
+    """quant_override(True/False) wins over FSAT_INT8_MATMUL at trace time —
+    the mechanism behind the hybrid int8/bf16 sampler schedule."""
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (16, 64), jnp.float32)
+    q = quant.QuantDense(32, param_dtype=jnp.float32)
+    params = q.init(jax.random.PRNGKey(1), x)
+
+    assert os.environ.get("FSAT_INT8_MATMUL") != "1"
+    y_plain = np.asarray(q.apply(params, x))
+    with quant.quant_override(True):
+        y_forced_int8 = np.asarray(q.apply(params, x))
+    with quant.quant_override(False):
+        y_forced_off = np.asarray(q.apply(params, x))
+    assert np.abs(y_forced_int8 - y_plain).max() > 0.0
+    np.testing.assert_array_equal(y_forced_off, y_plain)
+    # context restores: back to env-controlled behavior
+    np.testing.assert_array_equal(np.asarray(q.apply(params, x)), y_plain)
+
+
+def test_hybrid_int8_bf16_schedule(monkeypatch):
+    """FSAT_INT8_BF16_TAIL/HEAD split the sampler trajectory between int8 and
+    bf16 regimes: full-coverage tail reproduces bf16 exactly, a partial tail
+    lands strictly between full-int8 and full-bf16 programs."""
+    from friendly_stable_audio_tools_tpu.inference.sampling import sample_k
+
+    class TinyModel(nn.Module):
+        @nn.compact
+        def __call__(self, x, t):
+            h = quant.QuantDense(64, param_dtype=jnp.float32)(x)
+            h = jax.nn.silu(h + t[:, None, None])
+            return quant.QuantDense(x.shape[-1], param_dtype=jnp.float32)(h)
+
+    model = TinyModel()
+    noise = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 8), jnp.float32)
+    t0 = jnp.zeros((2,), jnp.float32)
+    params = model.init(jax.random.PRNGKey(1), noise, t0)
+
+    def run():
+        return np.asarray(sample_k(
+            lambda x, t: model.apply(params, x, t),
+            noise, steps=6, sampler_type="dpmpp-3m-sde",
+            sigma_min=0.3, sigma_max=500.0, rho=1.0, rng=jax.random.PRNGKey(2),
+        ))
+
+    monkeypatch.setenv("FSAT_INT8_MATMUL", "0")
+    bf16 = run()
+    monkeypatch.setenv("FSAT_INT8_MATMUL", "1")
+    int8 = run()
+    assert np.abs(int8 - bf16).max() > 0.0
+
+    monkeypatch.setenv("FSAT_INT8_BF16_TAIL", "6")
+    np.testing.assert_array_equal(run(), bf16)  # full tail == pure bf16
+
+    monkeypatch.setenv("FSAT_INT8_BF16_TAIL", "3")
+    mixed = run()
+    assert np.abs(mixed - bf16).max() > 0.0
+    assert np.abs(mixed - int8).max() > 0.0
+    # bf16 tail strictly reduces end-to-end divergence from the bf16 output
+    assert np.linalg.norm(mixed - bf16) < np.linalg.norm(int8 - bf16)
+
+    monkeypatch.setenv("FSAT_INT8_BF16_TAIL", "2")
+    monkeypatch.setenv("FSAT_INT8_BF16_HEAD", "4")
+    np.testing.assert_array_equal(run(), bf16)  # head+tail cover all 6 steps
+
+
 def _dezero(params, scale=0.05, seed=42):
     leaves, treedef = jax.tree_util.tree_flatten(params)
     keys = jax.random.split(jax.random.PRNGKey(seed), len(leaves))

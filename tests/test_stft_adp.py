@@ -67,6 +67,7 @@ def test_unet1d_stft_wrapping_forward():
     assert np.isfinite(np.asarray(y)).all()
 
 
+@pytest.mark.slow
 def test_unetcfg1d_stft_config_driven():
     """config-driven instantiation of an STFT-wrapped CFG U-Net (the
     reference's `stft_*` kwargs surface, adp.py:1105-1113)."""

@@ -68,6 +68,7 @@ def test_tp_non_divisible_replicates(dit_and_params):
         assert leaf.sharding.mesh.shape == mesh.shape
 
 
+@pytest.mark.slow
 def test_tp_gradients(dit_and_params):
     """TP-sharded params train: grads computed under the mesh match the
     replicated grads."""

@@ -56,6 +56,7 @@ def test_fit_checkpoints_and_resume(wrapper, tmp_path):
     assert int(jax.device_get(state2.step)) == 6
 
 
+@pytest.mark.slow
 def test_grad_accumulation_matches_big_batch(wrapper):
     """One accum=2 step equals one step on the concatenated batch whose two
     halves see the same per-microbatch rng stream."""

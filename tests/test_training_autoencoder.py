@@ -46,6 +46,7 @@ def trainer():
     )
 
 
+@pytest.mark.slow
 def test_gan_training_alternates(trainer):
     state = trainer.init_state(example_length=512)
     reals = np.random.default_rng(0).standard_normal((2, 2, 512)).astype(np.float32) * 0.1

@@ -29,6 +29,7 @@ def cond_trainer():
     return DiffusionCondTrainingWrapper(model, lr=1e-3, use_ema=True, cfg_dropout_prob=0.1)
 
 
+@pytest.mark.slow
 def test_cond_train_step_reduces_loss(cond_trainer):
     trainer = cond_trainer
     state = trainer.init_state()

@@ -19,12 +19,16 @@ here); throughput is architecture-determined, not weight-determined.
 Prints ONE JSON line:
   {"metric": "secs_of_audio_per_sec_per_chip", "value": N,
    "unit": "s_audio/s/chip", "vs_baseline": N,
-   "int8_value": N, "int8_rel_l2_vs_bf16": N}
+   "int8_value": N, "int8_bf16_tail_steps": N,
+   "int8_rel_l2_vs_bf16": N, "int8_mrstft_vs_bf16": N}
 vs_baseline is value / 20 (driver target: >20x real-time per chip) for the
 bf16 HEADLINE, which matches the reference recipe's numerics. int8_value is
 the same pipeline with FSAT_INT8_MATMUL=1 (dynamic per-token activation +
-per-channel weight int8 on the DiT projections) — it changes outputs, so it
-is reported beside its measured output divergence, never as the headline.
+per-channel weight int8 on the DiT projections) and the last
+BENCH_INT8_TAIL sampler steps in bf16 (the measured error/speed operating
+point, docs/performance.md) — it changes outputs, so it is reported beside
+its measured divergence (same pinned sampler key, so the delta is numerics
+only): waveform rel-L2 and MRSTFT distance. Never as the headline.
 BENCH_SKIP_INT8=1 skips that second compile (e.g. for quick A/B runs).
 """
 
@@ -84,6 +88,23 @@ def build_models(dtype=jnp.bfloat16):
         transformer_type="continuous_transformer", global_cond_type="prepend",
     )
     return vae, dit
+
+
+def mrstft_distance(a: np.ndarray, b: np.ndarray) -> float:
+    """Multi-resolution STFT distance (the repo's auraloss port, sc + log-mag)
+    between two [B, T, C] waveforms. Reported beside waveform rel-L2 because
+    over a 100-step SDE trajectory rel-L2 conflates benign decorrelation with
+    spectral damage; MRSTFT is the perceptually meaningful axis (it is the
+    reference's own reconstruction loss)."""
+    from friendly_stable_audio_tools_tpu.training.losses.auraloss import (
+        MultiResolutionSTFTLoss,
+    )
+
+    loss = MultiResolutionSTFTLoss()
+    av = jnp.asarray(np.transpose(a, (0, 2, 1)), jnp.float32)
+    bv = jnp.asarray(np.transpose(b, (0, 2, 1)), jnp.float32)
+    out = jax.jit(lambda x, y: loss(x, y))(av, bv)
+    return float(out)
 
 
 def main():
@@ -161,6 +182,14 @@ def main():
     wall = min(times)
     assert np.isfinite(np.asarray(out[:, :16, :], np.float32)).all(), "non-finite audio"
 
+    # Fidelity-comparison audio: ALWAYS regenerated with one pinned sampler
+    # key, independent of BENCH_RUNS, so parent/child outputs differ only by
+    # numerics (int8 vs bf16), never by SDE noise draws. (Regression: the
+    # round-3 int8 rel-L2 of 0.178 compared runs with different sampler keys
+    # — mostly Brownian-noise decorrelation, not quantization error.)
+    cmp_out = generate(dit_params, vae_params, cond, g, noise, jax.random.PRNGKey(777))
+    cmp_audio = np.asarray(cmp_out, np.float32)
+
     total_audio_seconds = audio_seconds * batch
     value = total_audio_seconds / wall / n_chips
     result = {
@@ -174,7 +203,7 @@ def main():
 
     save_path = os.environ.get("BENCH_SAVE_AUDIO")
     if save_path:
-        np.save(save_path, np.asarray(out, np.float32))
+        np.save(save_path, cmp_audio)
 
     if os.environ.get("BENCH_SKIP_INT8") == "1" or os.environ.get("FSAT_INT8_MATMUL") == "1":
         print(json.dumps(result))
@@ -190,11 +219,16 @@ def main():
 
     signal.signal(signal.SIGTERM, _on_term)
     try:
-        bf16_audio = np.asarray(out, np.float32)
+        bf16_audio = cmp_audio
         int8_path = "/tmp/bench_int8_audio.npy"
+        # BENCH_INT8_TAIL: bf16 steps at the end of the int8 trajectory (the
+        # measured error/speed frontier operating point — docs/performance.md)
+        int8_tail = os.environ.get("BENCH_INT8_TAIL", "10")
         env = dict(os.environ, FSAT_INT8_MATMUL="1", BENCH_SKIP_INT8="1",
-                   BENCH_SAVE_AUDIO=int8_path, BENCH_RUNS="2")
-        print("int8 secondary: recompiling under FSAT_INT8_MATMUL=1...", file=sys.stderr)
+                   BENCH_SAVE_AUDIO=int8_path, BENCH_RUNS="2",
+                   FSAT_INT8_BF16_TAIL=int8_tail)
+        print(f"int8 secondary: recompiling under FSAT_INT8_MATMUL=1 "
+              f"FSAT_INT8_BF16_TAIL={int8_tail}...", file=sys.stderr)
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
             capture_output=True, text=True,
@@ -207,7 +241,9 @@ def main():
         rel_l2 = float(np.linalg.norm(int8_audio - bf16_audio) /
                        max(np.linalg.norm(bf16_audio), 1e-12))
         result["int8_value"] = round(float(int8_value), 3)
+        result["int8_bf16_tail_steps"] = int(int8_tail)
         result["int8_rel_l2_vs_bf16"] = round(rel_l2, 5)
+        result["int8_mrstft_vs_bf16"] = round(mrstft_distance(int8_audio, bf16_audio), 5)
     except Exception as e:  # noqa: BLE001 — int8 is best-effort, never the headline
         print(f"int8 secondary failed ({type(e).__name__}: {e}); "
               "reporting bf16 only", file=sys.stderr)

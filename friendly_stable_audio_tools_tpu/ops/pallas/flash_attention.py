@@ -150,14 +150,18 @@ def _online_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int, causal:
     n_k = t_k // block_k
     qi = pl.program_id(1)
 
+    # prescale q once ([bq, d] fp32 multiply, one bf16 rounding — same trick
+    # as _single_dot_kernel) instead of a [bq, block_k] score-tile multiply
+    # per K block
     q = q_ref[:]
+    q = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
 
     def body(j, carry):
         m, l, acc = carry
         k = k_ref[pl.ds(j * block_k, block_k), :]
         v = v_ref[pl.ds(j * block_k, block_k), :]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * (scale * LOG2E)
+                                preferred_element_type=jnp.float32)
         k_pos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
         if causal:
             q_pos = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 0)

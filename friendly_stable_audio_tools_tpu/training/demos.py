@@ -100,6 +100,7 @@ class AutoencoderDemoCallback(DemoCallback):
             trainer.logger.log_image("demo/recon_melspec", fig, step=step)
         pc = pca_point_cloud(np.asarray(latents).transpose(0, 2, 1))
         np.save(os.path.join(out, "latent_pca.npy"), pc)
+        trainer.logger.log_object3d("demo/latent_pca", pc, step=step)
 
 
 class DiffusionDemoCallback(DemoCallback):
@@ -231,6 +232,7 @@ class DiffusionAutoencoderDemoCallback(DemoCallback):
         # wrong axis, producing garbage point clouds)
         pc = pca_point_cloud(np.asarray(latents))
         np.save(os.path.join(out, "latent_pca.npy"), pc)
+        trainer.logger.log_object3d("demo/diffae_latent_pca", pc, step=step)
 
 
 class AudioLanguageModelDemoCallback(DemoCallback):

@@ -72,6 +72,13 @@ class ExperimentLogger:
         if self.run is not None:
             self.run.log({key: self.wandb.Image(image)}, step=step)
 
+    def log_object3d(self, key: str, points, step: tp.Optional[int] = None) -> None:
+        """(N, 6) xyz+rgb point cloud (reference viz.py:110-221 logs the
+        latent PCA as wandb.Object3D)."""
+        if self.run is not None:
+            self.run.log({key: self.wandb.Object3D(np.asarray(points, np.float32))},
+                         step=step)
+
     def finish(self):
         if self.run is not None:
             self.run.finish()

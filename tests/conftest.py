@@ -13,7 +13,17 @@ os.environ.setdefault("HF_HUB_OFFLINE", "1")
 os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# Fast tier (pytest -m "not slow"): the suite is XLA-compile-bound on this
+# single-core host, so drop the backend optimization level — measured ~2x
+# faster cold compiles; results stay within every test's tolerance. The FULL
+# suite keeps default optimization so default-pipeline numerics are also
+# covered. (Must be decided before backend init, hence the argv sniff.)
+import sys as _sys
+
+if any("not slow" in a for a in _sys.argv) and "xla_backend_optimization_level" not in _flags:
+    _flags += " --xla_backend_optimization_level=0"
+os.environ["XLA_FLAGS"] = _flags
 
 import jax
 

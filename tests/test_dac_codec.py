@@ -91,6 +91,7 @@ def codec_and_params():
     return codec, params
 
 
+@pytest.mark.slow
 def test_converter_tree_matches_init_exactly(codec_and_params):
     codec, params = codec_and_params
     ref = DACCodec("16khz", "8kbps").init(jax.random.PRNGKey(0))

@@ -180,6 +180,7 @@ def test_rand_trunc_processor():
     assert longer[0]
 
 
+@pytest.mark.slow
 def test_clap_audio_conditioner_end_to_end():
     from friendly_stable_audio_tools_tpu.models.conditioners import CLAPAudioConditioner
     import dataclasses

@@ -9,6 +9,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 import torch
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -46,6 +47,7 @@ def _make_ckpt_dir(tmp_path):
     return str(tmp_path)
 
 
+@pytest.mark.slow
 def test_parity_probes_and_selfcompare(tmp_path):
     sys.path.insert(0, os.path.join(REPO, "scripts"))
     import parity_check

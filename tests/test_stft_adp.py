@@ -51,6 +51,7 @@ def test_stft_helper_encode1d_roundtrip():
     np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=1e-3, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_unet1d_stft_wrapping_forward():
     from friendly_stable_audio_tools_tpu.models.adp import UNet1d
 

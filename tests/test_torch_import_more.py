@@ -190,6 +190,7 @@ def test_dance_unet_converter_matches_init_tree():
         assert fr[k] == fg[k], (k, fr[k], fg[k])
 
 
+@pytest.mark.slow
 def test_diffae_torch_import():
     """load_torch_checkpoint_into_model(model_type=diffusion_autoencoder):
     oobleck encoder + DAU1d diffusion decoder (reference autoencoders.py:

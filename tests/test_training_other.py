@@ -160,6 +160,7 @@ ADP_COND_CONFIG = {
 }
 
 
+@pytest.mark.slow
 def test_adp_cfg_generation():
     from friendly_stable_audio_tools_tpu.inference.generation import generate_diffusion_cond
 

@@ -38,8 +38,12 @@ def get_args():
                         "sampling.py:33-56 behavior)")
     p.add_argument("--int8", action="store_true",
                    help="int8 dynamic-quantized transformer GEMMs (faster on "
-                        "TPU MXU; changes outputs ~2%% vs bf16 — see "
-                        "docs/performance.md)")
+                        "TPU MXU; changes outputs vs bf16 — the measured "
+                        "error/speed frontier is in docs/performance.md)")
+    p.add_argument("--int8-bf16-tail", type=int, default=None, metavar="N",
+                   help="with --int8: run the last N sampler steps in bf16 "
+                        "(hybrid schedule; reduces end-to-end divergence at "
+                        "a small speed cost — docs/performance.md)")
     return p.parse_args()
 
 
@@ -73,6 +77,8 @@ def main():
 
     if args.int8:
         os.environ["FSAT_INT8_MATMUL"] = "1"
+        if args.int8_bf16_tail is not None:
+            os.environ["FSAT_INT8_BF16_TAIL"] = str(args.int8_bf16_tail)
 
     import jax
 

@@ -40,7 +40,7 @@ CONFIGS = {
 }
 
 
-def wait_healthy(max_wait_s: int = 1800) -> bool:
+def wait_healthy(max_wait_s: int = 6 * 3600) -> bool:
     """Gate on the tunnel being able to complete a dispatch (it can wedge —
     scripts/tpu_health.py); retry with backoff up to max_wait_s."""
     import time
@@ -63,6 +63,13 @@ def wait_healthy(max_wait_s: int = 1800) -> bool:
 def run_one(name: str, extra_env: dict, timeout: int) -> dict:
     audio_path = f"/tmp/frontier_{name}.npy"
     log_path = f"/tmp/frontier_{name}.log"
+    value_path = f"/tmp/frontier_{name}.value"
+    if os.path.exists(audio_path) and os.path.exists(value_path):
+        # resumable across restarts: compiles here cost 20+ min per config
+        with open(value_path) as f:
+            value = float(f.read())
+        print(f"--- {name}: cached ({value})", file=sys.stderr, flush=True)
+        return {"name": name, "value": value, "audio": audio_path}
     env = dict(os.environ, BENCH_SKIP_INT8="1", BENCH_RUNS="2",
                BENCH_SAVE_AUDIO=audio_path, **extra_env)
     print(f"--- {name}: {extra_env or '(pure bf16)'} (log: {log_path})",
@@ -83,6 +90,8 @@ def run_one(name: str, extra_env: dict, timeout: int) -> dict:
         return {"name": name, "error": f"no JSON (rc={proc.returncode})",
                 "audio": audio_path}
     value = json.loads(lines[-1])["value"]
+    with open(value_path, "w") as f:
+        f.write(str(value))
     return {"name": name, "value": value, "audio": audio_path}
 
 

@@ -163,8 +163,11 @@ def probe_step(n=5):
     rng = jax.random.PRNGKey(0)
     batches = tuple(int(b) for b in
                     os.environ.get("PROBE_BATCHES", "1,8").split(","))
+    # PROBE_FRAMES=6144 probes the SA-2.0 long-form step (285 s latents)
+    frames = int(os.environ.get("PROBE_FRAMES", 1024))
+    audio_s = frames * 2048 / 44100.0
     for batch in batches:
-        x0 = jnp.zeros((batch, 1024, 64), jnp.bfloat16)
+        x0 = jnp.zeros((batch, frames, 64), jnp.bfloat16)
         t0 = jnp.zeros((batch,), jnp.float32)
         cond = jax.random.normal(jax.random.fold_in(rng, 1), (batch, 130, 768), jnp.bfloat16) * 0.02
         g = jax.random.normal(jax.random.fold_in(rng, 2), (batch, 1536), jnp.bfloat16) * 0.02
@@ -176,7 +179,7 @@ def probe_step(n=5):
         leaves = [((l * 0.5) + 0.02 * jax.random.normal(k, l.shape)).astype(jnp.bfloat16)
                   for l, k in zip(leaves, keys)]
         params = jax.tree_util.tree_unflatten(treedef, leaves)
-        x = jax.random.normal(jax.random.fold_in(rng, 3), (batch, 1024, 64), jnp.bfloat16)
+        x = jax.random.normal(jax.random.fold_in(rng, 3), (batch, frames, 64), jnp.bfloat16)
         t_sig = jnp.full((batch,), 0.5, jnp.float32)
 
         outs = {}
@@ -190,9 +193,9 @@ def probe_step(n=5):
 
             t = timeit(step, params, x, t_sig, cond, g, n=n)
             outs[int8] = np.asarray(step(params, x, t_sig, cond, g), np.float32)
-            emit(probe="cfg_step", batch=batch, int8=int8 == "1",
+            emit(probe="cfg_step", batch=batch, frames=frames, int8=int8 == "1",
                  ms=round(t * 1e3, 2),
-                 s_audio_per_s_per_chip_100steps=round(47.55 * batch / (t * 100), 2))
+                 s_audio_per_s_per_chip_100steps=round(audio_s * batch / (t * 100), 2))
         rel = float(np.linalg.norm(outs["1"] - outs["0"]) /
                     (np.linalg.norm(outs["0"]) + 1e-12))
         emit(probe="cfg_step_int8_fidelity", batch=batch,

@@ -41,6 +41,7 @@ def tiny_ae(bottleneck=None, latent_dim=8, enc_latent_dim=None):
     return ae
 
 
+@pytest.mark.slow
 def test_roundtrip_shapes(rng):
     ae = tiny_ae(VAEBottleneck(), latent_dim=8, enc_latent_dim=16)
     audio = jnp.asarray(rng.standard_normal((2, 2, 256)).astype(np.float32))
@@ -66,8 +67,10 @@ def test_vae_bottleneck_deterministic_without_rng(rng):
         (TanhBottleneck(), 1),
         (L2Bottleneck(), 1),
         (WassersteinBottleneck(), 1),
-        (RVQBottleneck(num_quantizers=2, codebook_size=32, dim=8), 1),
-        (DACRVQBottleneck(input_dim=8, n_codebooks=2, codebook_size=32, codebook_dim=4), 1),
+        pytest.param(RVQBottleneck(num_quantizers=2, codebook_size=32, dim=8), 1,
+                     marks=pytest.mark.slow),
+        pytest.param(DACRVQBottleneck(input_dim=8, n_codebooks=2, codebook_size=32, codebook_dim=4), 1,
+                     marks=pytest.mark.slow),
     ],
 )
 def test_bottlenecks_roundtrip(rng, bottleneck, enc_mult):

@@ -54,7 +54,7 @@ def tiny_vae_config(tmp_path_factory):
 import pytest as _pytest
 
 
-@_pytest.mark.parametrize("int8", [False, True])
+@_pytest.mark.parametrize("int8", [False, _pytest.param(True, marks=_pytest.mark.slow)])
 def test_generate_cli(tmp_path, tiny_cond_config, int8):
     yaml_path = tmp_path / "conds.yaml"
     yaml_path.write_text(
@@ -69,7 +69,7 @@ def test_generate_cli(tmp_path, tiny_cond_config, int8):
         "--cond-yaml-path", str(yaml_path),
         "--model-config", tiny_cond_config,
         "--sample-steps", "2", "--batch-size", "2", "--seed", "3",
-    ] + (["--int8"] if int8 else []))
+    ] + (["--int8", "--int8-bf16-tail", "1"] if int8 else []))
     assert r.returncode == 0, r.stderr[-2000:]
     wavs = sorted(out_dir.rglob("*.wav"))
     assert wavs, f"no wavs written; stdout={r.stdout[-800:]}"

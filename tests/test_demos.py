@@ -92,6 +92,7 @@ def test_diffusion_cond_demo_callback(tmp_path):
     assert "pretransform_recon.wav" in files
 
 
+@pytest.mark.slow
 def test_diffusion_autoencoder_demo_callback(tmp_path):
     from tests.test_training_other import DIFFAE_CONFIG
     from friendly_stable_audio_tools_tpu.models.factory import create_model_from_config

@@ -61,6 +61,7 @@ def hf_and_jax():
     return hf, module, jax.tree_util.tree_map(jnp.asarray, {"params": params})
 
 
+@pytest.mark.slow
 def test_converter_tree_matches_init(hf_and_jax):
     _, module, variables = hf_and_jax
     ref = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 1)))

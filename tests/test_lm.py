@@ -178,6 +178,7 @@ def test_lm_compute_logits_requires_rng_for_cfg_dropout(lm_model):
                                 cfg_dropout_prob=0.1, rng=None)
 
 
+@pytest.mark.slow
 def test_backbone_cached_decode_respects_prepend_mask():
     """Static-cache decode must mask padded prepend positions exactly like
     the training __call__ (regression: the cache ignored prepend_cond_mask,

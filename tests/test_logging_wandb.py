@@ -109,6 +109,7 @@ def test_wandb_init_failure_degrades_to_console(monkeypatch, capsys):
     lg.finish()
 
 
+@pytest.mark.slow
 def test_demo_callback_routes_media_through_wandb(stub_wandb, tmp_path):
     """AutoencoderDemoCallback end-to-end into the stub: audio + latent-PCA
     Object3D arrive via run.log (the melspec Image additionally requires

@@ -174,6 +174,7 @@ def test_pipeline_transformer_gradients_match_sequential():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_pipeline_full_continuous_transformer():
     """pipeline_continuous_transformer == the module's own forward, with
     cross-attention context, adaLN global cond, prepend tokens, and

@@ -67,6 +67,7 @@ def test_int8_zero_rows_are_finite(int8_env):
     np.testing.assert_array_equal(np.asarray(y, np.float32), 0.0)
 
 
+@pytest.mark.slow
 def test_int8_transformer_forward_fidelity(int8_env, monkeypatch):
     """Full transformer forward: int8 output stays close to bf16 output."""
     from friendly_stable_audio_tools_tpu.models.transformer import ContinuousTransformer

@@ -121,6 +121,7 @@ DANCE_CONFIG = {
 }
 
 
+@pytest.mark.slow
 def test_dance_diffusion_uncond_generation():
     from friendly_stable_audio_tools_tpu.inference.generation import generate_diffusion_uncond
 

@@ -69,6 +69,8 @@ def test_generate_cli(tmp_path, tiny_cond_config, int8):
         "--cond-yaml-path", str(yaml_path),
         "--model-config", tiny_cond_config,
         "--sample-steps", "2", "--batch-size", "2", "--seed", "3",
+        "--sampler-type", "k-euler",  # cheapest compile; dpmpp-3m-sde
+        # integration is covered in-process by test_generation
     ] + (["--int8", "--int8-bf16-tail", "1"] if int8 else []))
     assert r.returncode == 0, r.stderr[-2000:]
     wavs = sorted(out_dir.rglob("*.wav"))

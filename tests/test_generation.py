@@ -84,9 +84,18 @@ CONDITIONING = [
 ]
 
 
-@pytest.mark.parametrize("sampler", ["dpmpp-3m-sde", "dpmpp-2m-sde", "k-heun", "k-lms",
-                                     "k-dpm-2", "k-dpmpp-2s-ancestral", "k-euler",
-                                     "k-dpm-fast", "k-dpm-adaptive"])
+# sampler MATH is covered fast by test_sampler_golden/_torch_crosscheck;
+# this parametrization checks generation-path integration, so the exotic
+# solvers ride the slow tier
+@pytest.mark.parametrize(
+    "sampler",
+    ["dpmpp-3m-sde", "k-euler", "k-dpmpp-2s-ancestral",
+     pytest.param("dpmpp-2m-sde", marks=pytest.mark.slow),
+     pytest.param("k-heun", marks=pytest.mark.slow),
+     pytest.param("k-lms", marks=pytest.mark.slow),
+     pytest.param("k-dpm-2", marks=pytest.mark.slow),
+     pytest.param("k-dpm-fast", marks=pytest.mark.slow),
+     pytest.param("k-dpm-adaptive", marks=pytest.mark.slow)])
 def test_generate_diffusion_cond_samplers(cond_model, sampler):
     audio = generate_diffusion_cond(
         cond_model,

@@ -105,7 +105,7 @@ def test_int8_scope_limits_quantized_projections(int8_env, monkeypatch):
     from friendly_stable_audio_tools_tpu.models.transformer import ContinuousTransformer
 
     model = ContinuousTransformer(
-        dim=128, depth=2, dim_heads=32, dim_in=32, dim_out=32,
+        dim=128, depth=1, dim_heads=32, dim_in=32, dim_out=32,
         cross_attend=True, cond_token_dim=64, global_cond_dim=128,
     )
     rng = jax.random.PRNGKey(0)

@@ -136,7 +136,17 @@ def main():
 
     print("initializing params...", file=sys.stderr)
     dit_params = dit.init(jax.random.PRNGKey(0), x0, t0, cross_attn_cond=cond, global_embed=g)["params"]
-    dit_params = jax.tree_util.tree_map(lambda p: (p * 0.5).astype(jnp.bfloat16), dit_params)
+    # De-zero every parameter (CLAUDE.md): the zero-init residual output
+    # projections otherwise make the transformer body output-invisible —
+    # timing is unaffected either way, but the int8-vs-bf16 fidelity
+    # comparison is vacuously zero on a fresh init (every quantized GEMM
+    # feeds a zero out-projection). Same treatment as scripts/tpu_probe.py
+    # probe_step.
+    leaves, treedef = jax.tree_util.tree_flatten(dit_params)
+    keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+    leaves = [((l * 0.5) + 0.02 * jax.random.normal(k, l.shape)).astype(jnp.bfloat16)
+              for l, k in zip(leaves, keys)]
+    dit_params = jax.tree_util.tree_unflatten(treedef, leaves)
     vae_params = vae.init(jax.random.PRNGKey(1), length=2048 * 4)
     vae_params = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), vae_params)
 
@@ -221,9 +231,11 @@ def main():
     try:
         bf16_audio = cmp_audio
         int8_path = "/tmp/bench_int8_audio.npy"
-        # BENCH_INT8_TAIL: bf16 steps at the end of the int8 trajectory (the
-        # measured error/speed frontier operating point — docs/performance.md)
-        int8_tail = os.environ.get("BENCH_INT8_TAIL", "10")
+        # BENCH_INT8_TAIL: bf16 steps at the end of the int8 trajectory.
+        # Default 0 = the fastest point of the measured error/speed frontier
+        # (docs/performance.md): only plain int8 crosses 20x; the hybrid
+        # points trade ~5% speed for ~30% less divergence.
+        int8_tail = os.environ.get("BENCH_INT8_TAIL", "0")
         env = dict(os.environ, FSAT_INT8_MATMUL="1", BENCH_SKIP_INT8="1",
                    BENCH_SAVE_AUDIO=int8_path, BENCH_RUNS="2",
                    FSAT_INT8_BF16_TAIL=int8_tail)
@@ -240,6 +252,9 @@ def main():
         int8_audio = np.load(int8_path)
         rel_l2 = float(np.linalg.norm(int8_audio - bf16_audio) /
                        max(np.linalg.norm(bf16_audio), 1e-12))
+        if rel_l2 == 0.0:
+            print("WARNING: int8 audio bit-identical to bf16 — the fidelity "
+                  "comparison is vacuous (zero-init params?)", file=sys.stderr)
         result["int8_value"] = round(float(int8_value), 3)
         result["int8_bf16_tail_steps"] = int(int8_tail)
         result["int8_rel_l2_vs_bf16"] = round(rel_l2, 5)

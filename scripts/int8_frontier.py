@@ -120,7 +120,13 @@ def main():
         sys.exit(1)
     ref = np.load(ok[0]["audio"])  # bf16 comparison audio (key 777)
     sys.path.insert(0, REPO)
-    from bench import mrstft_distance  # runs on the default (TPU) platform
+    # analysis runs on host CPU (measured ~16 s per MRSTFT pair): this
+    # process never touches the TPU, so a wedged tunnel can't hang the
+    # final analysis after all the measurements are already on disk
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from bench import mrstft_distance
 
     rows = []
     for r in ok:

@@ -184,6 +184,10 @@ class Attention(nn.Module):
 
             _fused_env = _os.environ.get("FSAT_FUSED_ATTN")
             resolved_causal = self.causal if causal is None else causal
+            # head-pair kernel masks K/V at self_kv_len in-kernel, so the
+            # 16-aligned padded-sequence path stays on the fused fast path
+            _pair_ok = (self.dim_heads == 64 and h % 2 == 0
+                        and x.shape[1] <= 2048)
             if (
                 rotary_pos_emb is not None
                 and mask is None
@@ -192,14 +196,15 @@ class Attention(nn.Module):
                 and not self.qk_norm
                 and self.natten_kernel_size is None
                 and not resolved_causal
-                and self.self_kv_len is None
+                and (self.self_kv_len is None or _pair_ok)
                 and (_fused_env == "1"
                      or (_fused_env != "0"
                          and jax.default_backend() != "cpu"))
             ):
                 from ..ops.pallas.flash_attention import fused_qkv_rope_attention
 
-                out = fused_qkv_rope_attention(qkv, rotary_pos_emb, h)
+                out = fused_qkv_rope_attention(qkv, rotary_pos_emb, h,
+                                               kv_len=self.self_kv_len)
                 kinit = (nn.initializers.zeros if self.zero_init_output
                          else nn.initializers.lecun_normal())
                 return QuantDense(self.dim, use_bias=False, kernel_init=kinit,
@@ -518,7 +523,27 @@ class ContinuousTransformer(nn.Module):
         import os as _os
 
         valid_len = x.shape[1]
-        padded_len = (valid_len + 127) // 128 * 128
+        # Head-pair-kernel-eligible stacks only need 16-alignment (the kernel
+        # masks score LANES; 1026 -> 1040 = +1.4% GEMM FLOPs, not 1152 =
+        # +12%), which flips the trade at batch: per-layer qkv pad+slice HBM
+        # copies scale with batch (~0.45 ms/layer at CFG batch 16,
+        # scripts/pair_batch_exp.py) while the pad-FLOP cost is ~flat per
+        # sample. Engage at CFG batch >= 4 where it measures net-positive;
+        # batch 1 keeps the unpadded path (its pad copies are ~free).
+        heads = self.dim // self.dim_heads
+        pair_16 = (
+            self.dim_heads == 64 and heads % 2 == 0 and self.rotary_pos_emb
+            and not self.qk_norm
+            and (valid_len + 15) // 16 * 16 <= 2048
+            # CFG batch >= 4 only: at CFG batch 2 the padded step measured
+            # +15% (63.9 vs 55.5 ms/call) despite the same kernel win — the
+            # per-layer pad copies it removes are ~free at batch 2, while at
+            # batch >= 4 removing them is a clear net gain (batch probes,
+            # docs/performance.md "Batch scaling")
+            and x.shape[0] >= 4
+        )
+        align = 16 if pair_16 else 128
+        padded_len = (valid_len + align - 1) // align * align
         pad_ratio_ok = 0 < padded_len - valid_len and (
             (padded_len - valid_len) / valid_len <= 0.04
             or _os.environ.get("FSAT_FORCE_SEQ_PAD") == "1")

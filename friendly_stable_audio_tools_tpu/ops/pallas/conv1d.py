@@ -247,8 +247,14 @@ def _upk_kernel(x_cur, x_halo, wa_ref, wb_ref, b_ref, ab_ref, o_ref, *,
     # Two K=Cin dots per group (Mosaic cannot lane-concat offset slices).
     a = dd(x_0, wa_ref[:cin]) + dd(x_m1, wa_ref[cin:])
     bq = dd(x_0, wb_ref[:cin]) + dd(x_p1, wb_ref[cin:])
-    y = jnp.concatenate([a.reshape(block_t, half, cout), bq.reshape(block_t, half, cout)],
-                        axis=1)
+    # NOTE: a phase-major [bt, s*cout] output (in-kernel interleave-free,
+    # "free" row-major reshape outside) was tried and REVERTED: the isolated
+    # kernel improved ~17% (scripts/up_exp.py) but the downstream
+    # [T, s*cout] -> [T*s, cout] view is a genuine TILED-layout relayout on
+    # TPU (+2 ms on the composed decode) that XLA elides when the kernel is
+    # benchmarked alone.
+    y = jnp.concatenate([a.reshape(block_t, half, cout),
+                         bq.reshape(block_t, half, cout)], axis=1)
     y = y + b_ref[0, :]
     o_ref[:] = y.reshape(block_t * stride, cout).astype(o_ref.dtype)
 
@@ -304,6 +310,42 @@ def _upk_xla(x, w, bias, alpha, inv_beta, stride):
         x = (x32 + 0.5 * inv_beta * (1.0 - jnp.cos(2.0 * alpha * x32))).astype(x.dtype)
     y = conv_transpose1d(x, w.astype(x.dtype), stride, stride // 2)
     return (y.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
+
+
+def _upk_gemm(x, w, bias, alpha, inv_beta, stride):
+    """Phase-grouped GEMM form of the upsample in plain XLA: the same
+    (x[q], x[q-+1]) two-tap decomposition as _upk_kernel, but as four
+    [T, Cin] x [Cin, (s/2)*Cout] dots + one interleave. Carries the decoder
+    stages whose phase-grouped weights exceed the Pallas kernel's VMEM gate
+    (SAO cin 2048/1024): large-K GEMMs XLA tiles well, vs its generic
+    conv_transpose lowering. Polynomial snake like the kernel; plain
+    autodiff (no custom_vjp needed — everything is XLA)."""
+    b, t, cin = x.shape
+    k, _, cout = w.shape
+    s = stride
+    p = s // 2
+    if alpha is not None:
+        x = _snake(x.astype(jnp.float32), alpha, inv_beta).astype(x.dtype)
+    # snake(0) == 0, so zero-padding the shifted operands AFTER the snake
+    # matches the kernel's pad-then-snake ordering exactly
+    xm1 = jnp.pad(x, ((0, 0), (1, 0), (0, 0)))[:, :t]
+    xp1 = jnp.pad(x, ((0, 0), (0, 1), (0, 0)))[:, 1:]
+    wd = w.astype(x.dtype)
+
+    def grp(lo, hi):  # [Cin, (hi-lo)*Cout] phase-concatenated weights
+        return jnp.concatenate([wd[i] for i in range(lo, hi)], axis=1)
+
+    def dd(a, wmat):
+        return jax.lax.dot_general(a, wmat, (((2,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    # group A: phases r < s/2 use (x[q], x[q-1]); group B: (x[q], x[q+1])
+    a = dd(x, grp(p, s)) + dd(xm1, grp(p + s, 2 * s))
+    bq = dd(x, grp(s, s + p)) + dd(xp1, grp(0, p))
+    y = jnp.concatenate([a.reshape(b, t, p, cout), bq.reshape(b, t, p, cout)],
+                        axis=2)
+    y = y + bias.astype(jnp.float32)
+    return y.reshape(b, t * s, cout).astype(x.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
@@ -366,6 +408,16 @@ def snake_conv_transpose1d(
         and w_bytes < 6 * 2**20
     )
     if not use_pallas:
+        if (
+            os.environ.get("FSAT_DISABLE_PALLAS_CONV") != "1"
+            and jax.default_backend() != "cpu"
+            and stride % 2 == 0
+            and k == 2 * stride
+            and padding == stride // 2
+        ):
+            # eligible structure but weights too large for the kernel's VMEM
+            # gate: phase-grouped GEMM form instead of XLA conv_transpose
+            return _upk_gemm(x, w, bias, alpha, inv_beta, stride)
         return _upk_xla(x, w, bias, alpha, inv_beta, stride)
     return _upk(x, w, bias, alpha, inv_beta, stride, bt)
 
@@ -376,7 +428,7 @@ def snake_conv_transpose1d(
 
 
 def _ru_kernel(x_cur, x_nxt, w1_ref, b1_ref, ab1_ref, w2_ref, b2_ref, ab2_ref,
-               o_ref, xcat_ref, *, k: int, dilation: int, block_t: int):
+               o_ref, *, k: int, dilation: int, block_t: int):
     halo = (k - 1) * dilation
     padding = halo // 2
     cur = x_cur[:].astype(jnp.float32)
@@ -389,12 +441,19 @@ def _ru_kernel(x_cur, x_nxt, w1_ref, b1_ref, ab1_ref, w2_ref, b2_ref, ab2_ref,
     # (_ru_xla casts snake output to x.dtype before each conv): fp32 MXU
     # operands run multi-pass, measured 2-3x slower at decoder shapes
     x = x.astype(o_ref.dtype)
-    cin = w1_ref.shape[1]
+    # k separate K=cin dots accumulated in fp32: no [bt, k*cin] stacked-window
+    # VMEM scratch (that 7x duplication write/re-read dominated at c=128), and
+    # the freed VMEM doubles block_t. Measured at the decode hot shapes
+    # (scripts/ru_exp.py): c=128 57.3 -> 74.5 TFLOP/s bit-exact; c=256
+    # 96 -> 105.
+    acc = None
     for j in range(k):
-        xcat_ref[:, j * cin : (j + 1) * cin] = x[j * dilation : j * dilation + block_t]
-    w1 = w1_ref[:].reshape(k * cin, w1_ref.shape[2]).astype(o_ref.dtype)
-    h = jax.lax.dot_general(xcat_ref[:], w1, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32) + b1_ref[0, :]
+        xj = x[j * dilation : j * dilation + block_t]
+        d = jax.lax.dot_general(xj, w1_ref[j].astype(o_ref.dtype),
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        acc = d if acc is None else acc + d
+    h = acc + b1_ref[0, :]
     h = _snake(h, ab2_ref[0, :], ab2_ref[1, :])
     h = h.astype(o_ref.dtype)
     y = jax.lax.dot_general(h, w2_ref[:].astype(o_ref.dtype), (((1,), (0,)), ((), ())),
@@ -432,7 +491,6 @@ def _ru_forward(x, w1, b1, ab1, w2, b2, ab2, dilation, block_t):
         ],
         out_specs=pl.BlockSpec((None, block_t, cout), lambda bb, i: (bb, i, 0)),
         out_shape=jax.ShapeDtypeStruct((b, n_t * block_t, cout), x.dtype),
-        scratch_shapes=[pltpu.VMEM((block_t, k * cin), x.dtype)],
     )(xp, xp, w1, b1.reshape(1, -1), ab1, w2, b2.reshape(1, -1), ab2)
     return out[:, :t, :]
 
@@ -473,11 +531,14 @@ def fused_residual_unit(x, w1, b1, alpha1, inv_beta1, w2, b2, alpha2, inv_beta2,
     wdt = jnp.dtype(w1.dtype).itemsize
     xdt = jnp.dtype(x.dtype).itemsize
     w_bytes = (k * cin * cin + cin * cin) * wdt
-    budget = 10 * 2**20 - w_bytes
-    # per-row VMEM: x block (double-buffered) + fp32 snake temp + xcat scratch
-    # (model dtype) on the cin side; out block + fp32 acc/h on the cout side
+    budget = 13 * 2**20 - w_bytes
+    # per-row VMEM: x block (double-buffered) + fp32 snake temp + cast copy on
+    # the cin side; out block + fp32 acc/h on the cout side. No stacked-window
+    # scratch (sepdot kernel): c=128 picks bt 4096, c=256 bt 2048 — the
+    # largest that compile (bt 8192 / 4096 respectively overflow VMEM,
+    # scripts/ru_exp.py).
     bt = block_t
-    while bt > 128 and bt * ((4 + 3 * xdt + xdt * k) * cin + 14 * cout) > budget:
+    while bt > 128 and bt * ((4 + 3 * xdt) * cin + 14 * cout) > budget:
         bt //= 2
     use_pallas = (
         os.environ.get("FSAT_DISABLE_PALLAS_CONV") != "1"

@@ -697,13 +697,20 @@ def _fused_pair_kernel(q2_ref, k2_ref, v2_ref, cq_ref, sq_ref, ck_ref, sk_ref,
                 acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
-def _fused_pair_forward(qkv, freqs, num_heads: int):
+def _fused_pair_forward(qkv, freqs, num_heads: int, kv_len=None):
     """Inference fast path: per-head-PAIR BlockSpec fetches straight from the
     [B, T, 3HD] qkv tensor and direct [B, T, HD] output writes — the only
     HBM layout op left is one pad of qkv to a 128-aligned length (padded K
     columns are masked via kv_len; padded V rows multiply exactly-zero
-    probabilities, and the pad keeps them finite)."""
+    probabilities, and the pad keeps them finite).
+
+    kv_len: true token count when the caller pre-padded qkv to an aligned
+    length (16-aligned padded-sequence transformer path). With T already a
+    16-multiple the pad/slice pair below are no-ops — at CFG batch 16 the
+    per-layer qkv pad alone is ~0.45 ms of HBM copy (scripts/
+    pair_batch_exp.py), which is why the transformer pre-pads instead."""
     b, t, three_hd = qkv.shape
+    valid = t if kv_len is None else kv_len
     d = three_hd // (3 * num_heads)
     g = num_heads // 2          # head pairs = 128-lane column blocks
     scale = 1.0 / math.sqrt(d)
@@ -744,7 +751,7 @@ def _fused_pair_forward(qkv, freqs, num_heads: int):
     sk = jnp.concatenate([jnp.pad(sin, pad)] * 2, axis=1)
     p2 = jax.scipy.linalg.block_diag(p_mat, p_mat)
 
-    kernel = functools.partial(_fused_pair_kernel, kv_len=t, block_q=block_q, d=d)
+    kernel = functools.partial(_fused_pair_kernel, kv_len=valid, block_q=block_q, d=d)
     out = pl.pallas_call(
         kernel,
         grid=(b, g),
@@ -779,30 +786,32 @@ def _fused_unpack(qkv, freqs, num_heads: int):
     return _rope_outside(q, freqs), _rope_outside(k, freqs), v
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _fused_pair(qkv, freqs, num_heads):
-    return _fused_pair_forward(qkv, freqs, num_heads)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _fused_pair(qkv, freqs, num_heads, kv_len=None):
+    return _fused_pair_forward(qkv, freqs, num_heads, kv_len)
 
 
-def _fused_pair_fwd(qkv, freqs, num_heads):
+def _fused_pair_fwd(qkv, freqs, num_heads, kv_len=None):
     b, t, _ = qkv.shape
     d = qkv.shape[-1] // (3 * num_heads)
     qr, kr, v = _fused_unpack(qkv, freqs, num_heads)
     flat = lambda x: x.reshape(b * num_heads, t, d)
     out, lse = _flash_forward(flat(qr), flat(kr), flat(v), False,
-                              DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K, save_stats=True)
+                              DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K, save_stats=True,
+                              kv_len=kv_len)
     merged = (out[:, :t].reshape(b, num_heads, t, d)
               .transpose(0, 2, 1, 3).reshape(b, t, num_heads * d))
     return merged, (qr, kr, v, out[:, :t], lse, freqs)
 
 
-def _fused_pair_bwd(num_heads, res, g):
+def _fused_pair_bwd(num_heads, kv_len, res, g):
     qr, kr, v, out, lse, freqs = res
     b, _, t, d = qr.shape
     flat = lambda x: x.reshape(b * num_heads, t, d)
     go = g.reshape(b, t, num_heads, d).transpose(0, 2, 1, 3)
     dqr, dkr, dv = _flash_backward(flat(qr), flat(kr), flat(v), flat(out), lse,
-                                   flat(go), False, DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K)
+                                   flat(go), False, DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K,
+                                   kv_len=kv_len)
     cos, sin, p = _rope_tables(freqs, d, t)
     pt = p.T
 
@@ -825,7 +834,7 @@ _fused_pair.defvjp(_fused_pair_fwd, _fused_pair_bwd)
 
 
 def fused_qkv_rope_attention(qkv, freqs, num_heads: int,
-                             block_q: int = DEFAULT_BLOCK_Q):
+                             block_q: int = DEFAULT_BLOCK_Q, kv_len=None):
     """qkv: [B, T, 3*H*D] (fused Dense output, q|k|v concatenated),
     freqs: [T', rot_dim] rotary angles (last T rows used) -> [B, T, H*D].
 
@@ -833,13 +842,23 @@ def fused_qkv_rope_attention(qkv, freqs, num_heads: int,
     (transformer.py:164-183) fused into the attention kernel. At head_dim 64
     with an even head count and a moderate sequence, the head-pair kernel
     (_fused_pair_forward) reads qkv and writes the output in their NATIVE
-    [B, T, C] layouts — no head split/merge transposes touch HBM at all."""
+    [B, T, C] layouts — no head split/merge transposes touch HBM at all.
+
+    kv_len: true token count when qkv is pre-padded (16-aligned
+    padded-sequence path, models/transformer.py); K/V masked in-kernel."""
     b, t, three_hd = qkv.shape
     d = three_hd // (3 * num_heads)
 
     if (not _use_xla_fallback()) and d == 64 and num_heads % 2 == 0 \
             and t <= 2048:
-        return _fused_pair(qkv, freqs, num_heads)
+        return _fused_pair(qkv, freqs, num_heads, kv_len)
+
+    if kv_len is not None and kv_len < t:
+        # non-pair fallback: run at the true length, re-pad the output
+        # (correct everywhere; only exercised on forced-CPU parity runs)
+        out = fused_qkv_rope_attention(qkv[:, :kv_len], freqs[:kv_len],
+                                       num_heads, block_q)
+        return jnp.pad(out, ((0, 0), (0, t - kv_len), (0, 0)))
 
     q, k, v = jnp.split(qkv, 3, axis=-1)
 

@@ -71,6 +71,32 @@ def test_snake_conv_transpose1d_matches_xla(stride, cin, cout):
     np.testing.assert_allclose(np.asarray(g), np.asarray(gr), atol=1e-4)
 
 
+@pytest.mark.parametrize("stride,cin,cout", [(2, 16, 16), (4, 32, 16), (8, 64, 32)])
+def test_upk_gemm_matches_xla(stride, cin, cout):
+    """Phase-grouped GEMM upsample (the big-weight decoder fallback) ==
+    XLA conv_transpose form, forward and grad."""
+    from friendly_stable_audio_tools_tpu.ops.pallas.conv1d import _upk_gemm, _upk_xla
+
+    rng = np.random.RandomState(5)
+    t = 48
+    x = jnp.asarray(rng.randn(2, t, cin), jnp.float32) * 0.3
+    w = jnp.asarray(rng.randn(2 * stride, cin, cout), jnp.float32) * 0.05
+    b = jnp.asarray(rng.randn(cout), jnp.float32) * 0.1
+    a = jnp.asarray(np.abs(rng.randn(cin)) + 0.5, jnp.float32)
+    ib = jnp.asarray(np.abs(rng.randn(cin)) + 0.5, jnp.float32)
+    got = _upk_gemm(x, w, b, a, ib, stride)
+    ref = _upk_xla(x, w, b, a, ib, stride)
+    assert got.shape == (2, t * stride, cout)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+    g = jax.grad(lambda x: (_upk_gemm(x, w, b, a, ib, stride) ** 2).sum())(x)
+    gr = jax.grad(lambda x: (_upk_xla(x, w, b, a, ib, stride) ** 2).sum())(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr), atol=2e-4)
+    # no-snake path (alpha None)
+    got0 = _upk_gemm(x, w, b, None, None, stride)
+    ref0 = _upk_xla(x, w, b, None, None, stride)
+    np.testing.assert_allclose(np.asarray(got0), np.asarray(ref0), atol=1e-4)
+
+
 @pytest.mark.parametrize("causal", [False, True])
 def test_flash_attention_fwd_bwd(causal):
     from friendly_stable_audio_tools_tpu.ops.pallas.flash_attention import (
@@ -264,6 +290,63 @@ def test_flash_attention_kv_len_prepadded():
     gr = jax.grad(loss_plain)(q)
     np.testing.assert_allclose(np.asarray(gp[:, :, :t]), np.asarray(gr), atol=5e-3)
     np.testing.assert_allclose(np.asarray(gp[:, :, t:]), 0.0, atol=1e-6)
+
+
+def test_fused_pair_kv_len_prepadded():
+    """Head-pair kernel with kv_len (16-aligned padded-sequence path): valid
+    rows match the unpadded fused path, forward and grad, and padded-row
+    cotangents are zero."""
+    from friendly_stable_audio_tools_tpu.ops.pallas.flash_attention import (
+        fused_qkv_rope_attention,
+    )
+    from friendly_stable_audio_tools_tpu.ops.embeddings import rotary_freqs
+
+    rng = np.random.RandomState(13)
+    b, t, h, d = 2, 130, 2, 64
+    tp_ = 144  # 16-multiple
+    qkv = jnp.asarray(rng.randn(b, t, 3 * h * d), jnp.float32) * 0.3
+    qkvp = jnp.pad(qkv, ((0, 0), (0, tp_ - t), (0, 0)))
+    freqs = rotary_freqs(t, 32)
+    freqsp = rotary_freqs(tp_, 32)
+
+    ref = fused_qkv_rope_attention(qkv, freqs, h)
+    got = fused_qkv_rope_attention(qkvp, freqsp, h, kv_len=t)
+    assert got.shape[1] == tp_
+    np.testing.assert_allclose(np.asarray(got[:, :t]), np.asarray(ref), atol=2e-3)
+
+    gp = jax.grad(lambda x: jnp.sum(
+        fused_qkv_rope_attention(x, freqsp, h, kv_len=t)[:, :t] ** 2))(qkvp)
+    gr = jax.grad(lambda x: jnp.sum(
+        fused_qkv_rope_attention(x, freqs, h) ** 2))(qkv)
+    np.testing.assert_allclose(np.asarray(gp[:, :t]), np.asarray(gr), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(gp[:, t:]), 0.0, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_pair_eligible_seq_pad_16_aligned(monkeypatch):
+    """ContinuousTransformer at a pair-kernel-eligible shape (dim_heads 64,
+    even heads, CFG batch >= 4) pads to a 16-multiple (1026 -> 1040, not
+    1152) and stays on the fused pair path; output == unpadded math."""
+    from friendly_stable_audio_tools_tpu.models.transformer import ContinuousTransformer
+
+    rng = np.random.RandomState(17)
+    b, t, dim = 4, 1024, 128
+    model = ContinuousTransformer(dim=dim, depth=1, dim_heads=64)
+    x = jnp.asarray(rng.randn(b, t, dim), jnp.float32) * 0.3
+    prep = jnp.asarray(rng.randn(b, 2, dim), jnp.float32) * 0.3
+    params = model.init(jax.random.PRNGKey(0), x, prepend_embeds=prep)
+
+    def run(p):
+        return model.apply(p, x, prepend_embeds=prep)
+
+    monkeypatch.setenv("FSAT_FORCE_SEQ_PAD", "1")
+    monkeypatch.setenv("FSAT_FUSED_ATTN", "1")  # pair path despite CPU
+    padded = run(params)
+    monkeypatch.setenv("FSAT_DISABLE_SEQ_PAD", "1")
+    plain = run(params)
+
+    assert padded.shape == plain.shape == (b, t + 2, dim)
+    np.testing.assert_allclose(np.asarray(padded), np.asarray(plain), atol=2e-3)
 
 
 def test_flash_attention_causal_bwd_multichunk():

@@ -342,11 +342,17 @@ def test_pair_eligible_seq_pad_16_aligned(monkeypatch):
     monkeypatch.setenv("FSAT_FORCE_SEQ_PAD", "1")
     monkeypatch.setenv("FSAT_FUSED_ATTN", "1")  # pair path despite CPU
     padded = run(params)
+    g1 = jax.grad(lambda p: jnp.sum(run(p) ** 2))(params)
     monkeypatch.setenv("FSAT_DISABLE_SEQ_PAD", "1")
     plain = run(params)
+    g2 = jax.grad(lambda p: jnp.sum(run(p) ** 2))(params)
 
     assert padded.shape == plain.shape == (b, t + 2, dim)
     np.testing.assert_allclose(np.asarray(padded), np.asarray(plain), atol=2e-3)
+    l1, _ = jax.flatten_util.ravel_pytree(g1)
+    l2, _ = jax.flatten_util.ravel_pytree(g2)
+    # grad through the kv_len custom_vjp (training with the padded stack)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=5e-3)
 
 
 def test_flash_attention_causal_bwd_multichunk():

@@ -120,8 +120,10 @@ def main():
     # environment (they change the compiled program and possibly outputs)
     from friendly_stable_audio_tools_tpu.utils.trace_flags import TRACE_TIME_ENV_FLAGS
 
+    # any non-empty value counts: value-carrying flags (FSAT_INT8_SCOPE=mlp,
+    # FSAT_INT8_BF16_TAIL=10, ...) change the compiled program too
     active = {k: os.environ[k] for k in TRACE_TIME_ENV_FLAGS
-              if os.environ.get(k) == "1"}
+              if os.environ.get(k) not in (None, "", "0")}
     if active:
         print(f"active FSAT flags: {active}", file=sys.stderr)
 
@@ -140,13 +142,11 @@ def main():
     # projections otherwise make the transformer body output-invisible —
     # timing is unaffected either way, but the int8-vs-bf16 fidelity
     # comparison is vacuously zero on a fresh init (every quantized GEMM
-    # feeds a zero out-projection). Same treatment as scripts/tpu_probe.py
-    # probe_step.
-    leaves, treedef = jax.tree_util.tree_flatten(dit_params)
-    keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
-    leaves = [((l * 0.5) + 0.02 * jax.random.normal(k, l.shape)).astype(jnp.bfloat16)
-              for l, k in zip(leaves, keys)]
-    dit_params = jax.tree_util.tree_unflatten(treedef, leaves)
+    # feeds a zero out-projection). Shared helper so every harness applies
+    # the same invariant.
+    from friendly_stable_audio_tools_tpu.utils.common import dezero_params
+
+    dit_params = dezero_params(dit_params, dtype=jnp.bfloat16)
     vae_params = vae.init(jax.random.PRNGKey(1), length=2048 * 4)
     vae_params = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), vae_params)
 

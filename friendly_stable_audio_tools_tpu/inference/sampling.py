@@ -784,11 +784,17 @@ def sample(model_fn, x, steps: int, eta: float = 0.0, rng: tp.Optional[jax.Array
 
     emit = make_step_emitter(verbose=verbose, callback=callback, total_steps=steps)
 
+    # hybrid int8/bf16 schedule applies to every sampler family, keyed on the
+    # step's (decreasing) scalar t — not just sample_k's sigma grid
+    model_call = make_hybrid_quant_denoiser(
+        lambda xx, tc: model_fn(
+            xx, jnp.full((xx.shape[0],), tc, jnp.float32), **extra_args),
+        np.linspace(1, 0, steps + 1), steps)
+
     def body(carry, ix):
         x, _ = carry
         i, key = ix
-        ts = jnp.full((x.shape[0],), t[i], jnp.float32)
-        v = model_fn(x.astype(jnp.float32), ts, **extra_args).astype(jnp.float32)
+        v = model_call(x.astype(jnp.float32), t[i]).astype(jnp.float32)
         pred = x * alphas[i] - v * sigmas[i]
         if emit is not None:
             emit(x, sigmas[i], pred)
@@ -822,11 +828,17 @@ def sample_discrete_euler(model_fn, x, steps: int, sigma_max: float = 1.0, verbo
 
     emit = make_step_emitter(verbose=verbose, callback=callback, total_steps=steps)
 
+    # hybrid int8/bf16 schedule (FSAT_INT8_BF16_TAIL/HEAD) keyed on the
+    # decreasing rectified-flow t grid, same mechanism as sample_k
+    model_call = make_hybrid_quant_denoiser(
+        lambda xx, tc: model_fn(
+            xx, jnp.full((xx.shape[0],), tc, jnp.float32), **extra_args),
+        np.linspace(float(sigma_max), 0, steps + 1), steps)
+
     def body(x, i):
         t_curr, t_prev = t[i], t[i + 1]
-        ts = jnp.full((x.shape[0],), t_curr, jnp.float32)
         dt = t_prev - t_curr
-        v = model_fn(x.astype(jnp.float32), ts, **extra_args).astype(jnp.float32)
+        v = model_call(x.astype(jnp.float32), t_curr).astype(jnp.float32)
         if emit is not None:
             # k-diffusion convention: 'denoised' is the clean prediction.
             # For rectified flow x_t = (1-t)x0 + t*noise, v = noise - x0,

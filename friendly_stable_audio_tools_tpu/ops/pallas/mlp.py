@@ -56,7 +56,10 @@ def fused_mlp_enabled() -> bool:
 
     from ..quant import int8_matmul_enabled
 
-    if os.environ.get("FSAT_DISABLE_FUSED_MLP") == "1" or int8_matmul_enabled():
+    # tag "mlp": FSAT_INT8_SCOPE=mlp still quantizes these GEMMs, so the
+    # fused bf16 kernel must yield (untagged check would miss the scoped case
+    # and silently run bf16 under an "int8 mlp-only" label)
+    if os.environ.get("FSAT_DISABLE_FUSED_MLP") == "1" or int8_matmul_enabled("mlp"):
         return False
     if os.environ.get("FSAT_FUSED_MLP") != "1":
         return False

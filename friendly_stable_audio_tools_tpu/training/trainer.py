@@ -68,7 +68,9 @@ class Trainer:
 
         from ..ops.quant import int8_matmul_enabled
 
-        if int8_matmul_enabled():
+        # check both tags: FSAT_INT8_SCOPE=mlp|attn still quantizes that
+        # family, which must warn too (an untagged check misses scoped runs)
+        if int8_matmul_enabled("mlp") or int8_matmul_enabled("attn"):
             import logging
 
             logging.warning(

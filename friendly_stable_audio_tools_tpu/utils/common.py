@@ -142,3 +142,21 @@ def enable_compilation_cache(path: str = "/tmp/jax_cache") -> None:
             jax.config.update("jax_platforms", platforms)
         except Exception:
             pass  # backend already initialized: too late to repin
+
+
+def dezero_params(params, seed: int = 7, scale: float = 0.02,
+                  damp: float = 0.5, dtype=None):
+    """Perturb every param leaf: `damp * leaf + scale * normal(key)`.
+
+    The transformers' zero-init output projections (reference parity) make a
+    FRESH-INIT forward input-independent (CLAUDE.md): any output-sensitivity
+    comparison on fresh params — int8 fidelity, quantization error, parity
+    probes — passes vacuously without this. One shared implementation so
+    every harness (bench.py, scripts/tpu_probe.py, tests) applies the same
+    invariant instead of re-deriving it.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(leaves))
+    leaves = [(l * damp + scale * jax.random.normal(k, l.shape)).astype(
+        dtype if dtype is not None else l.dtype) for l, k in zip(leaves, keys)]
+    return jax.tree_util.tree_unflatten(treedef, leaves)

@@ -48,25 +48,41 @@ def wait_healthy(max_wait_s: int = 6 * 3600) -> bool:
     scripts/tpu_health.py); retry with backoff up to max_wait_s."""
     import time
 
-    waited = 0
+    t0 = time.time()
     while True:
         rc = subprocess.run(
             [sys.executable, os.path.join(REPO, "scripts/tpu_health.py"),
              "--timeout", "90"], cwd=REPO).returncode
         if rc == 0:
             return True
+        waited = int(time.time() - t0)  # wall clock, not a guessed increment
         if waited >= max_wait_s:
             return False
-        print(f"tunnel wedged; retrying in 120s (waited {waited}s)",
+        # NOTE: rc != 0 can also be a non-wedge failure (import error etc.) —
+        # tpu_health.py prints its own diagnostics to this stderr either way;
+        # read them before assuming the tunnel is the problem.
+        print(f"tpu_health rc={rc}; retrying in 120s (waited {waited}s)",
               file=sys.stderr, flush=True)
         time.sleep(120)
-        waited += 210
+
+
+def _code_rev() -> str:
+    """Short git rev of the repo; cached results must not survive code
+    changes (mixing audio from different revisions measures the code delta,
+    not quantization error — the round-3 0.178 bug class)."""
+    try:
+        return subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                              cwd=REPO, capture_output=True,
+                              text=True).stdout.strip() or "norev"
+    except OSError:
+        return "norev"
 
 
 def run_one(name: str, extra_env: dict, timeout: int) -> dict:
-    audio_path = f"/tmp/frontier_{name}.npy"
-    log_path = f"/tmp/frontier_{name}.log"
-    value_path = f"/tmp/frontier_{name}.value"
+    rev = _code_rev()
+    audio_path = f"/tmp/frontier_{rev}_{name}.npy"
+    log_path = f"/tmp/frontier_{rev}_{name}.log"
+    value_path = f"/tmp/frontier_{rev}_{name}.value"
     if os.path.exists(audio_path) and os.path.exists(value_path):
         # resumable across restarts: compiles here cost 20+ min per config
         with open(value_path) as f:

@@ -174,11 +174,9 @@ def probe_step(n=5):
         params = dit.init(jax.random.PRNGKey(0), x0, t0, cross_attn_cond=cond, global_embed=g)["params"]
         # de-zero the zero-init residual out-projections, or the transformer
         # body contributes nothing and the int8 fidelity number is vacuous
-        leaves, treedef = jax.tree_util.tree_flatten(params)
-        keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
-        leaves = [((l * 0.5) + 0.02 * jax.random.normal(k, l.shape)).astype(jnp.bfloat16)
-                  for l, k in zip(leaves, keys)]
-        params = jax.tree_util.tree_unflatten(treedef, leaves)
+        from friendly_stable_audio_tools_tpu.utils.common import dezero_params
+
+        params = dezero_params(params, dtype=jnp.bfloat16)
         x = jax.random.normal(jax.random.fold_in(rng, 3), (batch, frames, 64), jnp.bfloat16)
         t_sig = jnp.full((batch,), 0.5, jnp.float32)
 
@@ -242,11 +240,9 @@ def probe_block(n=5):
     ctx = jax.random.normal(jax.random.fold_in(rng, 1), (b, 130, 768), jnp.bfloat16) * 0.1
     rot = rotary_freqs(t, 32)
     params = block.init(jax.random.PRNGKey(0), x, context=ctx, rotary_pos_emb=rot)["params"]
-    leaves, tdef = jax.tree_util.tree_flatten(params)
-    keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
-    params = jax.tree_util.tree_unflatten(
-        tdef, [(l * 0.5 + 0.02 * jax.random.normal(k, l.shape)).astype(jnp.bfloat16)
-               for l, k in zip(leaves, keys)])
+    from friendly_stable_audio_tools_tpu.utils.common import dezero_params
+
+    params = dezero_params(params, dtype=jnp.bfloat16)
 
     tb = timeit_loop(
         lambda x, p: block.apply({"params": p}, x, context=ctx, rotary_pos_emb=rot,

@@ -21,7 +21,7 @@ if "xla_force_host_platform_device_count" not in _flags:
 # covered. (Must be decided before backend init, hence the argv sniff.)
 import sys as _sys
 
-if any("not slow" in a for a in _sys.argv) and "xla_backend_optimization_level" not in _flags:
+if any(a.strip() == "not slow" for a in _sys.argv) and "xla_backend_optimization_level" not in _flags:
     _flags += " --xla_backend_optimization_level=0"
 os.environ["XLA_FLAGS"] = _flags
 

@@ -200,11 +200,65 @@ def test_hybrid_int8_bf16_schedule(monkeypatch):
     np.testing.assert_array_equal(run(), bf16)  # head+tail cover all 6 steps
 
 
+def test_hybrid_schedule_applies_to_rf_samplers(monkeypatch):
+    """FSAT_INT8_BF16_TAIL must be honored by the rectified-flow/DDIM sampler
+    families too, not just sample_k (generate.py --int8-bf16-tail on an RF
+    model config routes to sample_rf)."""
+    from friendly_stable_audio_tools_tpu.inference.sampling import sample_rf
+
+    class TinyModel(nn.Module):
+        @nn.compact
+        def __call__(self, x, t):
+            h = quant.QuantDense(64, param_dtype=jnp.float32)(x)
+            h = jax.nn.silu(h + t[:, None, None])
+            return quant.QuantDense(x.shape[-1], param_dtype=jnp.float32)(h)
+
+    model = TinyModel()
+    noise = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 8), jnp.float32)
+    params = model.init(jax.random.PRNGKey(1), noise, jnp.zeros((2,), jnp.float32))
+
+    def run():
+        return np.asarray(sample_rf(
+            lambda x, t: model.apply(params, x, t), noise, steps=6))
+
+    monkeypatch.setenv("FSAT_INT8_MATMUL", "0")
+    bf16 = run()
+    monkeypatch.setenv("FSAT_INT8_MATMUL", "1")
+    int8 = run()
+    assert np.abs(int8 - bf16).max() > 0.0
+
+    monkeypatch.setenv("FSAT_INT8_BF16_TAIL", "6")
+    np.testing.assert_array_equal(run(), bf16)  # full tail == pure bf16
+
+    monkeypatch.setenv("FSAT_INT8_BF16_TAIL", "3")
+    mixed = run()
+    assert np.abs(mixed - bf16).max() > 0.0
+    assert np.abs(mixed - int8).max() > 0.0
+    assert np.linalg.norm(mixed - bf16) < np.linalg.norm(int8 - bf16)
+
+
+def test_fused_mlp_yields_to_scoped_int8(monkeypatch):
+    """FSAT_INT8_SCOPE=mlp still quantizes the MLP GEMMs, so the fused bf16
+    SwiGLU kernel must disable itself (regression: an untagged
+    int8_matmul_enabled() check let 'int8 mlp-only' + FSAT_FUSED_MLP=1 run
+    pure bf16 silently)."""
+    from friendly_stable_audio_tools_tpu.ops.pallas.mlp import fused_mlp_enabled
+
+    monkeypatch.setenv("FSAT_PALLAS_INTERPRET", "1")  # allow on CPU
+    monkeypatch.setenv("FSAT_FUSED_MLP", "1")
+    assert fused_mlp_enabled()
+    monkeypatch.setenv("FSAT_INT8_MATMUL", "1")
+    assert not fused_mlp_enabled()  # int8 owns the MLP GEMMs
+    monkeypatch.setenv("FSAT_INT8_SCOPE", "mlp")
+    assert not fused_mlp_enabled()  # scoped to mlp: still quantizes them
+    monkeypatch.setenv("FSAT_INT8_SCOPE", "attn")
+    assert fused_mlp_enabled()  # attn scope leaves the MLP in bf16
+
+
 def _dezero(params, scale=0.05, seed=42):
-    leaves, treedef = jax.tree_util.tree_flatten(params)
-    keys = jax.random.split(jax.random.PRNGKey(seed), len(leaves))
-    leaves = [l + scale * jax.random.normal(k, l.shape, l.dtype) for l, k in zip(leaves, keys)]
-    return jax.tree_util.tree_unflatten(treedef, leaves)
+    from friendly_stable_audio_tools_tpu.utils.common import dezero_params
+
+    return dezero_params(params, seed=seed, scale=scale, damp=1.0)
 
 
 def test_generation_jit_cache_keys_on_trace_env(monkeypatch):

@@ -732,7 +732,14 @@ def _fused_pair_forward(qkv, freqs, num_heads: int, kv_len=None):
     t16 = (t + 15) // 16 * 16
     if t16 * t16 * 6 <= 8 * 2**20:
         t_p = t16
-        n_q = 1
+        # small grids (CFG batch 2 = the batch-1 headline path) run ~7%
+        # faster with TWO q blocks — the halved fp32 score tile pipelines
+        # better against the rope+fetch phases; at batch >= 8 the extra
+        # per-block overhead wins instead (scripts/pair_batch_exp.py
+        # grid_nq2 vs prepad: 0.100 vs 0.108 ms/sample at b2, 0.108 vs
+        # 0.107 at b8). Sublane alignment: t_p is a 16-multiple, so
+        # t_p // 2 is a multiple of 8.
+        n_q = 2 if b <= 2 else 1
     else:
         t_p = (t + 127) // 128 * 128
         # q-block: bound the fp32 score tile (block_q x t_p) to ~2.7 MB

@@ -127,6 +127,7 @@ def main():
         variants = [
             ("prepad", dict(grid_order="bg", n_q=1)),
             ("grid_gb", dict(grid_order="gb", n_q=1)),
+            ("grid_nq2", dict(grid_order="bg", n_q=2)),
             ("grid_nq5", dict(grid_order="bg", n_q=5)),
             ("bf16exp", dict(grid_order="bg", n_q=1, bf16exp=True)),
         ]

@@ -184,10 +184,11 @@ class Attention(nn.Module):
 
             _fused_env = _os.environ.get("FSAT_FUSED_ATTN")
             resolved_causal = self.causal if causal is None else causal
-            # head-pair kernel masks K/V at self_kv_len in-kernel, so the
-            # 16-aligned padded-sequence path stays on the fused fast path
+            # head-pair kernels mask K/V at self_kv_len in-kernel, so both
+            # padded-sequence paths (16-aligned SAO, 128-aligned long-form)
+            # stay on the fused fast path; 8192 = SINGLE_DOT_MAX_TK
             _pair_ok = (self.dim_heads == 64 and h % 2 == 0
-                        and x.shape[1] <= 2048)
+                        and x.shape[1] <= 8192)
             if (
                 rotary_pos_emb is not None
                 and mask is None

@@ -779,6 +779,115 @@ def _fused_pair_forward(qkv, freqs, num_heads: int, kv_len=None):
     return out[:, :t].astype(in_dtype)
 
 
+# ---------------------------------------------------------------------------
+# long-sequence pair path (2048 < T <= SINGLE_DOT_MAX_TK): SA-2.0 long-form
+# ---------------------------------------------------------------------------
+#
+# The whole-tile pair kernel caps at 2048 tokens (fp32 score tile + four
+# fp32 rope tables in VMEM). Beyond that the old fallback paid ~14 ms/step
+# at 6144 frames in head split/merge transposes + separate rope HBM passes.
+# This path keeps the native [B, T, 3HD] layout end to end:
+#   kernel R — rope all K head-pairs in pair layout (one HBM pass, ~0.1 ms
+#              per layer vs ~0.6 for the transpose+rope chain);
+#   kernel A — gridded over 128-row q blocks, q roped in-kernel from BLOCKED
+#              tables (the full-table VMEM blowup only applied to K), one
+#              whole-K score dot per head (same single-dot design as
+#              _single_dot_rope_kernel, which already runs t_k <= 8192).
+
+
+def _rope_pair_k_kernel(k2_ref, ck_ref, sk_ref, p2_ref, o_ref):
+    o_ref[:] = _rope_arr(k2_ref[:], ck_ref[:], sk_ref[:], p2_ref[:])
+
+
+def _pair_long_kernel(q2_ref, kh2_ref, v2_ref, cq_ref, sq_ref, p2_ref, o_ref,
+                      *, kv_len: int, d: int):
+    t_pk = kh2_ref.shape[0]
+    q2 = _rope_arr(q2_ref[:], cq_ref[:], sq_ref[:], p2_ref[:])
+    for j in range(2):
+        q = q2[:, j * d:(j + 1) * d]
+        k = kh2_ref[:, j * d:(j + 1) * d]
+        v = v2_ref[:, j * d:(j + 1) * d]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if kv_len < t_pk:
+            kpos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(kpos < kv_len, s, NEG_INF)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        acc = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        o_ref[:, j * d:(j + 1) * d] = (
+            acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _pair_long_forward(qkv, freqs, num_heads: int, kv_len=None):
+    b, t, three_hd = qkv.shape
+    valid = t if kv_len is None else kv_len
+    d = three_hd // (3 * num_heads)
+    g = num_heads // 2
+    prescale = (1.0 / math.sqrt(d)) * LOG2E
+
+    in_dtype = qkv.dtype
+    if in_dtype != jnp.bfloat16:
+        qkv = qkv.astype(jnp.bfloat16)
+
+    block_q = 128
+    t_p = (t + block_q - 1) // block_q * block_q
+    if t_p != t:
+        qkv = jnp.pad(qkv, ((0, 0), (0, t_p - t), (0, 0)))
+    n_q = t_p // block_q
+
+    cos, sin, p_mat = _rope_tables(freqs, d, t)
+    pad = ((0, t_p - t), (0, 0))
+    cq = jnp.concatenate([jnp.pad(cos * prescale, pad, constant_values=prescale)] * 2, axis=1)
+    sq = jnp.concatenate([jnp.pad(sin * prescale, pad)] * 2, axis=1)
+    ck = jnp.concatenate([jnp.pad(cos, pad, constant_values=1.0)] * 2, axis=1)
+    sk = jnp.concatenate([jnp.pad(sin, pad)] * 2, axis=1)
+    p2 = jax.scipy.linalg.block_diag(p_mat, p_mat)
+
+    tab = lambda b_, g_: (0, 0)
+    khat = pl.pallas_call(
+        _rope_pair_k_kernel,
+        grid=(b, g),
+        interpret=_interpret(),
+        in_specs=[
+            pl.BlockSpec((None, t_p, 2 * d), lambda b_, g_, _g=g: (b_, 0, _g + g_)),
+            pl.BlockSpec((t_p, 2 * d), tab),
+            pl.BlockSpec((t_p, 2 * d), tab),
+            pl.BlockSpec((2 * d, 2 * d), tab),
+        ],
+        out_specs=pl.BlockSpec((None, t_p, 2 * d), lambda b_, g_: (b_, 0, g_)),
+        out_shape=jax.ShapeDtypeStruct((b, t_p, num_heads * d), jnp.bfloat16),
+    )(qkv, ck, sk, p2)
+
+    kernel = functools.partial(_pair_long_kernel, kv_len=valid, d=d)
+    tab3 = lambda b_, g_, i: (0, 0)
+    out = pl.pallas_call(
+        kernel,
+        # i fastest (row-major grid): k-hat/v blocks stay resident across
+        # the q blocks of one (batch, pair)
+        grid=(b, g, n_q),
+        interpret=_interpret(),
+        in_specs=[
+            pl.BlockSpec((None, block_q, 2 * d), lambda b_, g_, i: (b_, i, g_)),
+            pl.BlockSpec((None, t_p, 2 * d), lambda b_, g_, i: (b_, 0, g_)),
+            pl.BlockSpec((None, t_p, 2 * d), lambda b_, g_, i, _g=g: (b_, 0, 2 * _g + g_)),
+            pl.BlockSpec((block_q, 2 * d), lambda b_, g_, i: (i, 0)),
+            pl.BlockSpec((block_q, 2 * d), lambda b_, g_, i: (i, 0)),
+            pl.BlockSpec((2 * d, 2 * d), tab3),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, 2 * d), lambda b_, g_, i: (b_, i, g_)),
+        out_shape=jax.ShapeDtypeStruct((b, t_p, num_heads * d), jnp.bfloat16),
+    )(qkv, khat, qkv, cq, sq, p2)
+    return out[:, :t].astype(in_dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _pair_long(qkv, freqs, num_heads, kv_len=None):
+    return _pair_long_forward(qkv, freqs, num_heads, kv_len)
+
+
 def _fused_unpack(qkv, freqs, num_heads: int):
     """Training-path layout: split + head transpose + rope outside (the FA2
     backward kernels recompute scores from post-rope tensors)."""
@@ -838,6 +947,8 @@ def _fused_pair_bwd(num_heads, kv_len, res, g):
 
 
 _fused_pair.defvjp(_fused_pair_fwd, _fused_pair_bwd)
+# long-pair training path is identical: unpack + rope outside + FA2 kernels
+_pair_long.defvjp(_fused_pair_fwd, _fused_pair_bwd)
 
 
 def fused_qkv_rope_attention(qkv, freqs, num_heads: int,
@@ -859,6 +970,12 @@ def fused_qkv_rope_attention(qkv, freqs, num_heads: int,
     if (not _use_xla_fallback()) and d == 64 and num_heads % 2 == 0 \
             and t <= 2048:
         return _fused_pair(qkv, freqs, num_heads, kv_len)
+
+    if (not _use_xla_fallback()) and d == 64 and num_heads % 2 == 0 \
+            and t <= SINGLE_DOT_MAX_TK:
+        # SA-2.0 long-form: gridded pair kernel + pair-layout K rope — no
+        # head split/merge transposes, no separate rope HBM passes
+        return _pair_long(qkv, freqs, num_heads, kv_len)
 
     if kv_len is not None and kv_len < t:
         # non-pair fallback: run at the true length, re-pad the output

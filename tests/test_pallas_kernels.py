@@ -355,6 +355,36 @@ def test_pair_eligible_seq_pad_16_aligned(monkeypatch):
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=5e-3)
 
 
+def test_pair_long_matches_reference():
+    """Long-sequence pair path (t > 2048: gridded q blocks + pair-layout
+    K-rope kernel) == unfused split/rope/attn reference, incl. kv_len
+    masking and grad."""
+    import friendly_stable_audio_tools_tpu.ops.pallas.flash_attention as fa
+    from friendly_stable_audio_tools_tpu.ops.embeddings import rotary_freqs
+
+    rng = np.random.RandomState(19)
+    b, t, h, d = 1, 2176, 2, 64  # > 2048 -> _pair_long; 2176 = 17 * 128
+    qkv = jnp.asarray(rng.randn(b, t, 3 * h * d), jnp.float32) * 0.3
+    freqs = rotary_freqs(t, 32)
+
+    got = fa._pair_long(qkv, freqs, h)
+    ref = fa._fused_reference(qkv, freqs, h)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-3)
+
+    # kv_len: pre-padded input, valid rows match, pad-row grads zero
+    valid = 2050
+    qv = qkv[:, :valid]
+    ref_v = fa._fused_reference(qv, rotary_freqs(valid, 32), h)
+    got_v = fa._pair_long(jnp.pad(qv, ((0, 0), (0, t - valid), (0, 0))),
+                          freqs, h, valid)
+    np.testing.assert_allclose(np.asarray(got_v[:, :valid]), np.asarray(ref_v),
+                               atol=2e-3)
+
+    g1 = jax.grad(lambda x: jnp.sum(fa._pair_long(x, freqs, h) ** 2))(qkv)
+    g2 = jax.grad(lambda x: jnp.sum(fa._fused_reference(x, freqs, h) ** 2))(qkv)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=3e-3)
+
+
 def test_flash_attention_causal_bwd_multichunk():
     """Causal backward across multiple BWD_CHUNKs: the chunk-skipping bounds
     (dq: n_active k chunks; dkv: start q chunk) must not drop contributions

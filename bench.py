@@ -192,13 +192,20 @@ def main():
     wall = min(times)
     assert np.isfinite(np.asarray(out[:, :16, :], np.float32)).all(), "non-finite audio"
 
-    # Fidelity-comparison audio: ALWAYS regenerated with one pinned sampler
-    # key, independent of BENCH_RUNS, so parent/child outputs differ only by
+    # Fidelity-comparison audio: regenerated with one pinned sampler key,
+    # independent of BENCH_RUNS, so parent/child outputs differ only by
     # numerics (int8 vs bf16), never by SDE noise draws. (Regression: the
     # round-3 int8 rel-L2 of 0.178 compared runs with different sampler keys
     # — mostly Brownian-noise decorrelation, not quantization error.)
-    cmp_out = generate(dit_params, vae_params, cond, g, noise, jax.random.PRNGKey(777))
-    cmp_audio = np.asarray(cmp_out, np.float32)
+    # Skipped when nothing consumes it (int8 secondary disabled and no
+    # BENCH_SAVE_AUDIO) — it costs a full sampler+decode run.
+    need_cmp = bool(os.environ.get("BENCH_SAVE_AUDIO")) or not (
+        os.environ.get("BENCH_SKIP_INT8") == "1"
+        or os.environ.get("FSAT_INT8_MATMUL") == "1")
+    cmp_audio = None
+    if need_cmp:
+        cmp_out = generate(dit_params, vae_params, cond, g, noise, jax.random.PRNGKey(777))
+        cmp_audio = np.asarray(cmp_out, np.float32)
 
     total_audio_seconds = audio_seconds * batch
     value = total_audio_seconds / wall / n_chips

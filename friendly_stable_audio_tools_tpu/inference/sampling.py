@@ -779,17 +779,21 @@ def sample(model_fn, x, steps: int, eta: float = 0.0, rng: tp.Optional[jax.Array
            verbose: bool = False, callback=None, **extra_args):
     """DDIM for v-objective models (reference sampling.py:63-114)."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
-    t = jnp.linspace(1, 0, steps + 1)[:-1]
+    t_grid = jnp.linspace(1, 0, steps + 1)
+    t = t_grid[:-1]
     alphas, sigmas = get_alphas_sigmas(t)
 
     emit = make_step_emitter(verbose=verbose, callback=callback, total_steps=steps)
 
     # hybrid int8/bf16 schedule applies to every sampler family, keyed on the
-    # step's (decreasing) scalar t — not just sample_k's sigma grid
+    # step's (decreasing) scalar t — not just sample_k's sigma grid.
+    # Thresholds come from the SAME fp32 grid the loop compares against
+    # (jnp.linspace), not a float64 np.linspace recomputation whose near-zero
+    # entries can differ by more than the 1e-6 relative slack.
     model_call = make_hybrid_quant_denoiser(
         lambda xx, tc: model_fn(
             xx, jnp.full((xx.shape[0],), tc, jnp.float32), **extra_args),
-        np.linspace(1, 0, steps + 1), steps)
+        np.asarray(t_grid), steps)
 
     def body(carry, ix):
         x, _ = carry
@@ -829,11 +833,12 @@ def sample_discrete_euler(model_fn, x, steps: int, sigma_max: float = 1.0, verbo
     emit = make_step_emitter(verbose=verbose, callback=callback, total_steps=steps)
 
     # hybrid int8/bf16 schedule (FSAT_INT8_BF16_TAIL/HEAD) keyed on the
-    # decreasing rectified-flow t grid, same mechanism as sample_k
+    # decreasing rectified-flow t grid, same mechanism as sample_k; thresholds
+    # taken from the SAME fp32 grid the loop uses (see sample() note)
     model_call = make_hybrid_quant_denoiser(
         lambda xx, tc: model_fn(
             xx, jnp.full((xx.shape[0],), tc, jnp.float32), **extra_args),
-        np.linspace(float(sigma_max), 0, steps + 1), steps)
+        np.asarray(t), steps)
 
     def body(x, i):
         t_curr, t_prev = t[i], t[i + 1]

@@ -71,6 +71,12 @@ def int8_matmul_enabled(tag: str = "") -> bool:
     if not enabled:
         return False
     scope = os.environ.get("FSAT_INT8_SCOPE", "")
+    if scope not in ("", "mlp", "attn"):
+        # An unrecognized scope (e.g. a typo like "att") would otherwise match
+        # no tag and silently disable ALL quantization while FSAT_INT8_MATMUL=1
+        # suggests it is on.
+        raise ValueError(
+            f"FSAT_INT8_SCOPE={scope!r} is not one of '', 'mlp', 'attn'")
     return scope in ("", tag)
 
 

@@ -14,14 +14,18 @@ os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
-# Fast tier (pytest -m "not slow"): the suite is XLA-compile-bound on this
-# single-core host, so drop the backend optimization level — measured ~2x
-# faster cold compiles; results stay within every test's tolerance. The FULL
-# suite keeps default optimization so default-pipeline numerics are also
-# covered. (Must be decided before backend init, hence the argv sniff.)
+# Fast tier (pytest -m "not slow", or any -m expression containing it, or
+# FSAT_FAST_TESTS=1): the suite is XLA-compile-bound on this single-core
+# host, so drop the backend optimization level — measured ~2x faster cold
+# compiles; results stay within every test's tolerance. The FULL suite keeps
+# default optimization so default-pipeline numerics are also covered — i.e.
+# fast-tier and full-suite runs compile with DIFFERENT XLA pipelines by
+# design. (Must be decided before backend init, hence the argv sniff.)
 import sys as _sys
 
-if any(a.strip() == "not slow" for a in _sys.argv) and "xla_backend_optimization_level" not in _flags:
+_fast_tier = (os.environ.get("FSAT_FAST_TESTS") == "1"
+              or any("not slow" in a for a in _sys.argv))
+if _fast_tier and "xla_backend_optimization_level" not in _flags:
     _flags += " --xla_backend_optimization_level=0"
 os.environ["XLA_FLAGS"] = _flags
 

@@ -137,7 +137,15 @@ def main():
     g = jax.random.normal(jax.random.fold_in(rng, 2), (batch, 1536), jnp.bfloat16) * 0.02
 
     print("initializing params...", file=sys.stderr)
-    dit_params = dit.init(jax.random.PRNGKey(0), x0, t0, cross_attn_cond=cond, global_embed=g)["params"]
+    # init under quant_override(False): the produced params are identical
+    # either way, but tracing init with int8 enabled compiles a different
+    # (never-again-used) HLO — the int8 child subprocess then misses the
+    # parent's cached init programs and pays ~10 min of cold compile on the
+    # 1-core host.
+    from friendly_stable_audio_tools_tpu.ops.quant import quant_override
+
+    with quant_override(False):
+        dit_params = dit.init(jax.random.PRNGKey(0), x0, t0, cross_attn_cond=cond, global_embed=g)["params"]
     # De-zero every parameter (CLAUDE.md): the zero-init residual output
     # projections otherwise make the transformer body output-invisible —
     # timing is unaffected either way, but the int8-vs-bf16 fidelity
@@ -239,10 +247,12 @@ def main():
         bf16_audio = cmp_audio
         int8_path = "/tmp/bench_int8_audio.npy"
         # BENCH_INT8_TAIL: bf16 steps at the end of the int8 trajectory.
-        # Default 0 = the fastest point of the measured error/speed frontier
-        # (docs/performance.md): only plain int8 crosses 20x; the hybrid
-        # points trade ~5% speed for ~30% less divergence.
-        int8_tail = os.environ.get("BENCH_INT8_TAIL", "0")
+        # Default 5 = the TRUSTED point of the measured error/speed frontier
+        # (docs/performance.md): rel-L2 0.042 / MRSTFT 0.121 vs bf16 —
+        # roughly "+0.4 dB gain" perceptual distance — at 20.0x real time
+        # (the round-5 segmented-scan hybrid removed the per-step
+        # re-quantization that previously kept hybrid points under 20x).
+        int8_tail = os.environ.get("BENCH_INT8_TAIL", "5")
         env = dict(os.environ, FSAT_INT8_MATMUL="1", BENCH_SKIP_INT8="1",
                    BENCH_SAVE_AUDIO=int8_path, BENCH_RUNS="2",
                    FSAT_INT8_BF16_TAIL=int8_tail)
@@ -251,7 +261,9 @@ def main():
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
             capture_output=True, text=True,
-            timeout=int(os.environ.get("BENCH_INT8_TIMEOUT", 900)),
+            # the segmented tail compiles three scan programs; cold-cache
+            # child compile measured ~8 min plus runtime
+            timeout=int(os.environ.get("BENCH_INT8_TIMEOUT", 1800)),
         )
         sys.stderr.write(proc.stderr)
         line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]

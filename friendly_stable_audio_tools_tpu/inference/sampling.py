@@ -25,6 +25,7 @@ Divergences (documented):
 
 from __future__ import annotations
 
+import contextlib
 import math
 import typing as tp
 
@@ -71,13 +72,19 @@ def make_hybrid_quant_denoiser(denoiser, sigmas: np.ndarray, steps: int):
     the output), and FSAT_INT8_BF16_HEAD=M the FIRST M steps (the largest
     denoising moves). The rest of the trajectory keeps int8's speed.
 
-    Both variants are traced into the same scan body as the two branches of
-    one `lax.cond` — `ops.quant.quant_override` forces the QuantDense path
-    per branch at trace time — so the schedule costs one extra model trace
-    at compile time and a predicate at run time, and the whole loop remains
-    a single XLA program. Thresholds compare sigma (scalar per step), so
-    mid-step evaluations (heun / dpm-2) follow their step's regime.
-    Error/speed frontier: docs/performance.md.
+    Execution: samplers whose step loop is a plain scan split it into up to
+    three UNCONDITIONAL segment scans (head bf16 / middle int8 / tail bf16,
+    `SegmentedDenoiser.segments` + `_seg_scan`). This matters for speed, not
+    just tidiness: with the two variants traced as branches of a per-step
+    `lax.cond`, XLA cannot hoist the loop-invariant int8 WEIGHT quantization
+    out of the scan (LICM stops at the conditional), so every int8 step
+    re-quantized the full DiT — measured ~0.7-0.9 ms/step against plain
+    int8 in the round-4 frontier (19.35x at tail-5 vs an ideal composition
+    of ~19.8). Per-segment scans restore plain-int8 LICM. Samplers that
+    build their own step grids (k-dpm-fast / k-dpm-adaptive, a while_loop)
+    still use the per-step `lax.cond` via `SegmentedDenoiser.__call__`,
+    whose thresholds compare sigma so mid-grid evaluations follow their
+    step's regime. Error/speed frontier: docs/performance.md.
     """
     import os
 
@@ -103,19 +110,77 @@ def make_hybrid_quant_denoiser(denoiser, sigmas: np.ndarray, steps: int):
     lo = float(sigmas[steps - tail]) * (1 + 1e-6) if tail > 0 else -np.inf
     hi = float(sigmas[head - 1]) * (1 - 1e-6) if head > 0 else np.inf
 
-    def hybrid(x, sigma):
-        def bf16_branch(x):
-            with quant_override(False):
-                return denoiser(x, sigma)
+    def bf16_fn(x, sigma):
+        with quant_override(False):
+            return denoiser(x, sigma)
 
-        def int8_branch(x):
-            with quant_override(True):
-                return denoiser(x, sigma)
+    def int8_fn(x, sigma):
+        with quant_override(True):
+            return denoiser(x, sigma)
 
+    segments = [(bf16_fn, 0, head), (int8_fn, head, steps - tail),
+                (bf16_fn, steps - tail, steps)]
+    return SegmentedDenoiser(bf16_fn, int8_fn, lo, hi, segments)
+
+
+class SegmentedDenoiser:
+    """Hybrid int8/bf16 denoiser: callable like a plain denoiser (per-step
+    `lax.cond` keyed on sigma), plus `.segments` — [(fn, start, stop)] step
+    ranges — that `_seg_scan` uses to run each regime as its own
+    unconditional scan (see make_hybrid_quant_denoiser)."""
+
+    def __init__(self, bf16_fn, int8_fn, lo: float, hi: float, segments):
+        self._bf16 = bf16_fn
+        self._int8 = int8_fn
+        self._lo = lo
+        self._hi = hi
+        self.segments = [(fn, a, b) for fn, a, b in segments if b > a]
+        self._active = None
+
+    def __call__(self, x, sigma):
+        if self._active is not None:
+            return self._active(x, sigma)
         s = jnp.asarray(sigma, jnp.float32)
-        return jax.lax.cond(jnp.logical_or(s <= lo, s >= hi), bf16_branch, int8_branch, x)
+        return jax.lax.cond(
+            jnp.logical_or(s <= self._lo, s >= self._hi),
+            lambda x: self._bf16(x, sigma), lambda x: self._int8(x, sigma), x)
 
-    return hybrid
+    @contextlib.contextmanager
+    def activate(self, fn):
+        """Trace-time pin: while active, __call__ dispatches to `fn`
+        unconditionally (used by _seg_scan so sampler bodies — which close
+        over THIS object — trace the segment's branch without a cond)."""
+        self._active = fn
+        try:
+            yield
+        finally:
+            self._active = None
+
+
+def _seg_scan(denoiser, body, carry0, xs):
+    """`jax.lax.scan(body, carry0, xs)`, split into per-segment scans when
+    `denoiser` carries a hybrid int8/bf16 schedule. The xs arrays are sliced
+    per segment, so step indices and PRNG keys are identical to the single
+    scan — for single-model-call-per-step samplers the math is exactly the
+    cond version's; multi-eval samplers (heun / dpm-2) key their mid-step
+    evaluations on the step index rather than the mid-eval sigma."""
+    segs = getattr(denoiser, "segments", None)
+    if not segs:
+        return jax.lax.scan(body, carry0, xs)
+    carry = carry0
+    for fn, a, b in segs:
+        # a FRESH function object per segment: lax.scan caches traced jaxprs
+        # keyed on the body's identity + avals, and the segment branch is
+        # selected by trace-time state (denoiser._active) the cache cannot
+        # see — reusing `body` itself would replay the first segment's trace
+        # for every segment.
+        def seg_body(carry, x, _body=body):
+            return _body(carry, x)
+
+        with denoiser.activate(fn):
+            carry, _ = jax.lax.scan(
+                seg_body, carry, jax.tree_util.tree_map(lambda t: t[a:b], xs))
+    return carry, None
 
 
 # --------------------------------------------------------------------------
@@ -293,7 +358,7 @@ def sample_euler(denoiser, x, sigmas, rng, merge=None):
         x = x + d * (sigma_next - sigma)
         return x, None
 
-    x, _ = jax.lax.scan(body, x.astype(jnp.float32), (jnp.arange(steps), jax.random.split(rng, steps)))
+    x, _ = _seg_scan(denoiser, body, x.astype(jnp.float32), (jnp.arange(steps), jax.random.split(rng, steps)))
     return x
 
 
@@ -321,7 +386,7 @@ def sample_heun(denoiser, x, sigmas, rng, merge=None):
         x = jnp.where(sigma_next == 0, x_euler, x_heun)
         return x, None
 
-    x, _ = jax.lax.scan(body, x.astype(jnp.float32), (jnp.arange(steps), jax.random.split(rng, steps)))
+    x, _ = _seg_scan(denoiser, body, x.astype(jnp.float32), (jnp.arange(steps), jax.random.split(rng, steps)))
     return x
 
 
@@ -349,7 +414,7 @@ def sample_dpm_2(denoiser, x, sigmas, rng, merge=None):
         x = jnp.where(sigma_next == 0, x_euler, x_mid)
         return x, None
 
-    x, _ = jax.lax.scan(body, x.astype(jnp.float32), (jnp.arange(steps), jax.random.split(rng, steps)))
+    x, _ = _seg_scan(denoiser, body, x.astype(jnp.float32), (jnp.arange(steps), jax.random.split(rng, steps)))
     return x
 
 
@@ -389,7 +454,7 @@ def sample_dpmpp_2s_ancestral(denoiser, x, sigmas, rng, merge=None, eta: float =
         x = x + jax.random.normal(k_up, x.shape, jnp.float32) * s_noise * sigma_up
         return x, None
 
-    x, _ = jax.lax.scan(body, x.astype(jnp.float32), (jnp.arange(steps), jax.random.split(rng, steps)))
+    x, _ = _seg_scan(denoiser, body, x.astype(jnp.float32), (jnp.arange(steps), jax.random.split(rng, steps)))
     return x
 
 
@@ -434,7 +499,7 @@ def sample_lms(denoiser, x, sigmas, rng, merge=None, order: int = 4):
         return (x, ds), None
 
     ds0 = jnp.zeros((order,) + x.shape, jnp.float32)
-    (x, _), _ = jax.lax.scan(body, (x.astype(jnp.float32), ds0), (jnp.arange(steps), jax.random.split(rng, steps)))
+    (x, _), _ = _seg_scan(denoiser, body, (x.astype(jnp.float32), ds0), (jnp.arange(steps), jax.random.split(rng, steps)))
     return x
 
 
@@ -468,7 +533,7 @@ def sample_dpmpp_2m_sde(denoiser, x, sigmas, rng, merge=None, eta: float = 1.0, 
         return (x, denoised, h, jnp.asarray(True)), None
 
     carry0 = (x.astype(jnp.float32), jnp.zeros_like(x, jnp.float32), jnp.asarray(1.0), jnp.asarray(False))
-    (x, *_), _ = jax.lax.scan(body, carry0, (jnp.arange(steps), jax.random.split(rng, steps)))
+    (x, *_), _ = _seg_scan(denoiser, body, carry0, (jnp.arange(steps), jax.random.split(rng, steps)))
     return x
 
 
@@ -525,7 +590,7 @@ def sample_dpmpp_3m_sde(denoiser, x, sigmas, rng, merge=None, eta: float = 1.0, 
         jnp.asarray(1.0),
         jnp.asarray(0),
     )
-    (x, *_), _ = jax.lax.scan(body, carry0, (jnp.arange(steps), jax.random.split(rng, steps)))
+    (x, *_), _ = _seg_scan(denoiser, body, carry0, (jnp.arange(steps), jax.random.split(rng, steps)))
     return x
 
 
@@ -739,14 +804,16 @@ def sample_k(
     sigmas = get_sigmas_polyexponential(steps, sigma_min, sigma_max, rho)
 
     denoiser = make_v_denoiser(model_fn, extra_args)
-    # hybrid int8/bf16 schedule: for k-dpm-fast/-adaptive (which build their
-    # own step grids) the thresholds still come from this polyexponential
-    # grid — "last N steps" means that grid's sigma range.
-    denoiser = make_hybrid_quant_denoiser(denoiser, sigmas, steps)
     if cond_fn is not None:
         denoiser = make_cond_model_fn(denoiser, cond_fn)
     denoiser = make_step_hooked_denoiser(denoiser, verbose=verbose, callback=callback,
                                          total_steps=steps)
+    # hybrid int8/bf16 schedule, applied OUTERMOST so its `.segments`
+    # metadata reaches the sampler's _seg_scan (each segment branch wraps
+    # the hooked/cond denoiser). For k-dpm-fast/-adaptive (which build their
+    # own step grids) the per-step cond thresholds still come from this
+    # polyexponential grid — "last N steps" means that grid's sigma range.
+    denoiser = make_hybrid_quant_denoiser(denoiser, sigmas, steps)
     noise = noise.astype(jnp.float32) * float(sigmas[0])
 
     merge = None
@@ -818,8 +885,9 @@ def sample(model_fn, x, steps: int, eta: float = 0.0, rng: tp.Optional[jax.Array
         return (x, pred), None
 
     x0 = x.astype(jnp.float32)
-    (_, pred), _ = jax.lax.scan(
-        body, (x0, jnp.zeros_like(x0)), (jnp.arange(steps), jax.random.split(rng, steps))
+    (_, pred), _ = _seg_scan(
+        model_call, body, (x0, jnp.zeros_like(x0)),
+        (jnp.arange(steps), jax.random.split(rng, steps)),
     )
     return pred
 
@@ -852,7 +920,7 @@ def sample_discrete_euler(model_fn, x, steps: int, sigma_max: float = 1.0, verbo
         x = x + dt * v
         return x, None
 
-    x, _ = jax.lax.scan(body, x.astype(jnp.float32), jnp.arange(steps))
+    x, _ = _seg_scan(model_call, body, x.astype(jnp.float32), jnp.arange(steps))
     return x
 
 

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -351,6 +352,128 @@ def _xla_reference(q, k, v, causal):
 BWD_CHUNK = 512  # inner fori chunk over the non-gridded sequence axis
 
 
+# -- fused single-pass backward (non-causal, moderate T: the training hot
+# path). The two-pass kernels below recompute the score AND dp dots in both
+# passes (7 dots per element tile) and pad both sequence axes to BWD_CHUNK
+# multiples — at the SAO training shape (1040 tokens) that is 1536-padded,
+# i.e. (1536/1040)^2 = 2.2x the true dot FLOPs, which round-4 measured as
+# the training-MFU gap (scripts/bwd_probe.py: bwd at ~23 TFLOP/s-eq true).
+# This kernel computes s/p/dp ONCE per (q-block, whole-K) tile and emits all
+# three grads — 5 dots — with 16-aligned padding (1026 -> 1040 like the
+# forward), accumulating dk/dv in fp32 across the sequential q-block grid
+# iterations (out index_map ignores the q axis -> the block stays resident).
+
+
+def _bwd_fused_kernel(q_ref, kt_ref, k_ref, vt_ref, do_ref, stats_ref,
+                      dq_ref, dk_ref, dv_ref, *, scale: float, kv_len: int):
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_ref[:] = jnp.zeros_like(dk_ref)
+        dv_ref[:] = jnp.zeros_like(dv_ref)
+
+    t_kp = k_ref.shape[0]
+    q = q_ref[:]
+    # prescale like the forward: one [bq, d] multiply, not a score-tile pass
+    qs = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
+    do = do_ref[:]
+    lse = stats_ref[:, :1]
+    dcap = stats_ref[:, 1:2]
+    s = jax.lax.dot_general(qs, kt_ref[:], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    if kv_len < t_kp:
+        kpos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(kpos < kv_len, s, NEG_INF)
+    p = jnp.exp2(s - lse)  # base-2 lse; padded q rows have do = 0 -> grads 0
+    dp = jax.lax.dot_general(do, vt_ref[:], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    # ds here is p*(dp - D) WITHOUT the scale factor; scale lands on the
+    # [*, d] outputs instead (d-fold cheaper than scaling the score tile,
+    # and dk reuses the PRESCALED q so the dot stays single-fetch:
+    # dk = scale * ds^T q = (ds^T qs) / LOG2E).
+    ds = (p * (dp - dcap)).astype(q.dtype)
+    pb = p.astype(do.dtype)
+    dq_ref[:] = (jax.lax.dot_general(ds, k_ref[:], (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+                 * scale).astype(dq_ref.dtype)
+    dv_ref[:] += jax.lax.dot_general(pb, do, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+    dk_ref[:] += jax.lax.dot_general(ds, qs, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32) * (1.0 / LOG2E)
+
+
+def _bwd_fused_fits(bq: int, t_kp: int, d: int) -> bool:
+    tiles = bq * t_kp * 12          # s fp32 + dp fp32 + p bf16 + ds bf16
+    resid = (3 * t_kp * d * 2       # kt, k, vt resident
+             + 2 * t_kp * d * 4     # fp32 dk/dv accumulators
+             + 3 * bq * d * 4)      # q/do/dq tiles
+    return tiles + resid <= 12 * 2**20
+
+
+def _bwd_fused_plan(t_q: int, t_kp: int, d: int):
+    """16-aligned q padding + a q-block count whose block divides it."""
+    t_qp = (t_q + 15) // 16 * 16
+    n_q = 1
+    while n_q <= 64:
+        blk, rem = divmod(t_qp, n_q)
+        if rem == 0 and blk % 8 == 0 and _bwd_fused_fits(blk, t_kp, d):
+            return t_qp, blk
+        n_q += 1
+    return None
+
+
+def _flash_backward_fused(q, k, v, out, lse, g, kv_len):
+    bh, t_q, d = q.shape
+    t_k = k.shape[1]
+    scale = 1.0 / math.sqrt(d)
+    t_kp = (t_k + 15) // 16 * 16
+    plan = _bwd_fused_plan(t_q, t_kp, d)
+    if plan is None:
+        return None
+    t_qp, block_q = plan
+
+    qp = jnp.pad(q, ((0, 0), (0, t_qp - t_q), (0, 0)))
+    dop = jnp.pad(g, ((0, 0), (0, t_qp - t_q), (0, 0)))
+    op = jnp.pad(out, ((0, 0), (0, t_qp - t_q), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, t_kp - t_k), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, t_kp - t_k), (0, 0)))
+    lsep = jnp.pad(lse[:, :t_q], ((0, 0), (0, t_qp - t_q), (0, 0)))
+
+    delta = jnp.sum(dop.astype(jnp.float32) * op.astype(jnp.float32),
+                    axis=2, keepdims=True)
+    stats = jnp.concatenate([lsep[:, :, :1], delta], axis=2)
+    stats = jnp.pad(stats, ((0, 0), (0, 0), (0, STAT_LANES - 2)))
+
+    kt = kp.transpose(0, 2, 1)
+    vt = vp.transpose(0, 2, 1)
+
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_fused_kernel, scale=scale, kv_len=kv_len),
+        grid=(bh, t_qp // block_q),
+        interpret=_interpret(),
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((None, d, t_kp), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((None, t_kp, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((None, d, t_kp), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((None, block_q, STAT_LANES), lambda b, i: (b, i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((None, t_kp, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((None, t_kp, d), lambda b, i: (b, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, t_qp, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, t_kp, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, t_kp, d), jnp.float32),
+        ],
+    )(qp, kt, kp, vt, dop, stats)
+    return (dq[:, :t_q], dk[:, :t_k].astype(q.dtype), dv[:, :t_k].astype(q.dtype))
+
+
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, stats_ref, dq_ref, *,
                    scale: float, kv_len: int, causal: bool, block_q: int):
     """stats lanes: 0 = lse, 1 = D (rowsum(dO*O), precomputed once in XLA —
@@ -449,6 +572,11 @@ def _flash_backward(q, k, v, out, lse, g, causal, block_q, block_k, kv_len=None)
     t_k = k.shape[1]
     true_k = t_k if kv_len is None else kv_len
     scale = 1.0 / math.sqrt(d)
+
+    if not causal and os.environ.get("FSAT_FUSED_BWD") != "0":
+        fused = _flash_backward_fused(q, k, v, out, lse, g, kv_len=true_k)
+        if fused is not None:
+            return fused
 
     # bwd blocks are independent of the fwd's; clamp to the chunk size so
     # padded lengths stay multiples of both the block and BWD_CHUNK
@@ -780,6 +908,309 @@ def _fused_pair_forward(qkv, freqs, num_heads: int, kv_len=None):
 
 
 # ---------------------------------------------------------------------------
+# pair-layout TRAINING path: stats-saving pair forward + pair-layout fused
+# backward (rope/unrope in-kernel, dk/dv accumulated across q blocks)
+# ---------------------------------------------------------------------------
+#
+# The original training path unpacked qkv (head split/merge transposes +
+# separate rope HBM passes) so the generic FA2 kernels could recompute
+# post-rope scores. That layout overhead measured 0.38 ms/layer at batch 4
+# and 0.97 ms/layer at batch 8 (scripts/bwd_probe.py: pair fwd+bwd minus the
+# bare kernels) — ~9/23 ms per train step. These kernels keep the native
+# [B, T, 3HD] layout end to end, like the inference pair kernel:
+#   forward: _fused_pair_kernel + per-head base-2 LSE written to a
+#            [B, G, T, STAT_LANES] stats tensor (lanes 0/1 = head 0/1);
+#   backward: gridded over (batch, pair, q-block); q roped in-kernel from
+#            blocked tables, K pre-roped once by _rope_pair_k_kernel
+#            (recomputed, not saved — one cheap pass beats holding another
+#            [B, T, HD] residual in training HBM), 5 dots per head, dq
+#            un-roped per block and dk un-roped once on the last q block
+#            (rope is linear: vjp(y) = y*C + (y*S) @ P^T).
+
+
+def _fused_pair_stats_kernel(q2_ref, k2_ref, v2_ref, cq_ref, sq_ref, ck_ref,
+                             sk_ref, p2_ref, o_ref, stats_ref, *, kv_len: int,
+                             block_q: int, d: int):
+    t_p = k2_ref.shape[0]
+    q2 = _rope_arr(q2_ref[:], cq_ref[:], sq_ref[:], p2_ref[:])
+    k2 = _rope_arr(k2_ref[:], ck_ref[:], sk_ref[:], p2_ref[:])
+    v2 = v2_ref[:]
+    n_q = q2.shape[0] // block_q
+    for j in range(2):
+        k = k2[:, j * d:(j + 1) * d]
+        v = v2[:, j * d:(j + 1) * d]
+        for qi in range(n_q):
+            rows = slice(qi * block_q, (qi + 1) * block_q)
+            q = q2[rows, j * d:(j + 1) * d]
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            if kv_len < t_p:
+                kpos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                s = jnp.where(kpos < kv_len, s, NEG_INF)
+            m = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp2(s - m)
+            l = jnp.sum(p, axis=1, keepdims=True)
+            acc = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            o_ref[rows, j * d:(j + 1) * d] = (
+                acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+            stats_ref[rows, j:j + 1] = m + jnp.log2(jnp.maximum(l, 1e-30))
+
+
+def _pair_tables(freqs, d: int, t: int, t_p: int, prescale: float):
+    cos, sin, p_mat = _rope_tables(freqs, d, t)
+    pad = ((0, t_p - t), (0, 0))
+    cq = jnp.concatenate([jnp.pad(cos * prescale, pad, constant_values=prescale)] * 2, axis=1)
+    sq = jnp.concatenate([jnp.pad(sin * prescale, pad)] * 2, axis=1)
+    ck = jnp.concatenate([jnp.pad(cos, pad, constant_values=1.0)] * 2, axis=1)
+    sk = jnp.concatenate([jnp.pad(sin, pad)] * 2, axis=1)
+    p2 = jax.scipy.linalg.block_diag(p_mat, p_mat)
+    return cq, sq, ck, sk, p2
+
+
+def _pair_whole_tile(t: int):
+    """The whole-tile pair padding rule (16-aligned when the score tile
+    fits); returns None when the whole-tile kernel is ineligible."""
+    t16 = (t + 15) // 16 * 16
+    if t16 * t16 * 6 <= 8 * 2**20:
+        return t16
+    return None
+
+
+def _fused_pair_forward_stats(qkv, freqs, num_heads: int, kv_len=None):
+    """Whole-tile pair forward that also emits per-head base-2 LSE stats
+    ([B, G, t_p, STAT_LANES], lanes 0/1). Only valid when _pair_whole_tile
+    accepts the length (the training path's eligibility gate)."""
+    b, t, three_hd = qkv.shape
+    valid = t if kv_len is None else kv_len
+    d = three_hd // (3 * num_heads)
+    g = num_heads // 2
+    prescale = (1.0 / math.sqrt(d)) * LOG2E
+
+    in_dtype = qkv.dtype
+    if in_dtype != jnp.bfloat16:
+        qkv = qkv.astype(jnp.bfloat16)
+    t_p = _pair_whole_tile(t)
+    n_q = 2 if b <= 2 else 1
+    if t_p != t:
+        qkv = jnp.pad(qkv, ((0, 0), (0, t_p - t), (0, 0)))
+    block_q = t_p // n_q
+
+    cq, sq, ck, sk, p2 = _pair_tables(freqs, d, t, t_p, prescale)
+
+    kernel = functools.partial(_fused_pair_stats_kernel, kv_len=valid,
+                               block_q=block_q, d=d)
+    out, stats = pl.pallas_call(
+        kernel,
+        grid=(b, g),
+        interpret=_interpret(),
+        in_specs=[
+            pl.BlockSpec((None, t_p, 2 * d), lambda b_, g_: (b_, 0, g_)),
+            pl.BlockSpec((None, t_p, 2 * d), lambda b_, g_, _g=g: (b_, 0, _g + g_)),
+            pl.BlockSpec((None, t_p, 2 * d), lambda b_, g_, _g=g: (b_, 0, 2 * _g + g_)),
+            pl.BlockSpec((t_p, 2 * d), lambda b_, g_: (0, 0)),
+            pl.BlockSpec((t_p, 2 * d), lambda b_, g_: (0, 0)),
+            pl.BlockSpec((t_p, 2 * d), lambda b_, g_: (0, 0)),
+            pl.BlockSpec((t_p, 2 * d), lambda b_, g_: (0, 0)),
+            pl.BlockSpec((2 * d, 2 * d), lambda b_, g_: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, t_p, 2 * d), lambda b_, g_: (b_, 0, g_)),
+            pl.BlockSpec((None, None, t_p, STAT_LANES), lambda b_, g_: (b_, g_, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, t_p, num_heads * d), qkv.dtype),
+            jax.ShapeDtypeStruct((b, g, t_p, STAT_LANES), jnp.float32),
+        ],
+    )(qkv, qkv, qkv, cq, sq, ck, sk, p2)
+    return out[:, :t].astype(in_dtype), stats
+
+
+def _pair_bwd_kernel(q2_ref, khat2_ref, v2_ref, do2_ref, stats_ref,
+                     cq_ref, sq_ref, ck_ref, sk_ref, p2_ref, p2t_ref,
+                     dq_ref, dk_ref, dv_ref, *, kv_len: int, d: int,
+                     n_q: int, inv_prescale: float):
+    """One (batch, head-pair, q-block) program of the pair-layout backward.
+
+    q tables (cq/sq) arrive PRESCALED by scale*LOG2E like the forward; the
+    same tables scaled by 1/prescale un-rope dq (rope vjp), so only one set
+    of blocked q tables rides in VMEM. dk accumulates in POST-rope space
+    across the sequential q-block grid and is un-roped once on the last
+    block (ck/sk are the unscaled whole tables)."""
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_ref[:] = jnp.zeros_like(dk_ref)
+        dv_ref[:] = jnp.zeros_like(dv_ref)
+
+    t_p = khat2_ref.shape[0]
+    # qr2 in prescaled-rope space (matches the forward's score dot exactly)
+    qr2 = _rope_arr(q2_ref[:], cq_ref[:], sq_ref[:], p2_ref[:])
+    khat2 = khat2_ref[:]
+    v2 = v2_ref[:]
+    do2 = do2_ref[:]
+    dq_parts = []
+    for j in range(2):
+        qs = qr2[:, j * d:(j + 1) * d]
+        kh = khat2[:, j * d:(j + 1) * d]
+        v = v2[:, j * d:(j + 1) * d]
+        do = do2[:, j * d:(j + 1) * d]
+        lse = stats_ref[:, j:j + 1]
+        dcap = stats_ref[:, 2 + j:3 + j]
+        # s in prescaled base-2 space: qs already carries scale*LOG2E
+        s = jax.lax.dot_general(qs, kh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if kv_len < t_p:
+            kpos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(kpos < kv_len, s, NEG_INF)
+        p = jnp.exp2(s - lse)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = (p * (dp - dcap)).astype(jnp.bfloat16)
+        pb = p.astype(do.dtype)
+        # d(roped q) before scale: ds @ khat (scale folds into the un-rope
+        # tables below); dk accumulates dkr = scale * ds^T qr, with qr
+        # recovered from the PRESCALED qs via 1/LOG2E (scale*qs/prescale)
+        dq_parts.append(jax.lax.dot_general(
+            ds, kh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+        dv_ref[:, j * d:(j + 1) * d] += jax.lax.dot_general(
+            pb, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dk_ref[:, j * d:(j + 1) * d] += jax.lax.dot_general(
+            ds, qs, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * (1.0 / LOG2E)
+
+    # un-rope dq (rope is linear: vjp(y) = y*C + (y*S) @ P^T). The q tables
+    # are prescaled by scale*LOG2E; multiplying them by inv_prescale=1/LOG2E
+    # leaves exactly scale*C / scale*S — the true-scale un-rope in one pass.
+    dq2 = jnp.concatenate(dq_parts, axis=1)
+    cqu = cq_ref[:] * inv_prescale
+    squ = sq_ref[:] * inv_prescale
+    p2t = p2t_ref[:].astype(jnp.float32)
+    rot = jax.lax.dot(dq2 * squ, p2t, preferred_element_type=jnp.float32)
+    dq_ref[:] = (dq2 * cqu + rot).astype(dq_ref.dtype)
+
+    @pl.when(i == n_q - 1)
+    def _finish():
+        dk2 = dk_ref[:]
+        rotk = jax.lax.dot(dk2 * sk_ref[:], p2t_ref[:].astype(jnp.float32),
+                           preferred_element_type=jnp.float32)
+        dk_ref[:] = dk2 * ck_ref[:] + rotk
+
+
+def _pair_bwd_plan(t_p: int, d: int):
+    """q-block count for the pair backward: per-head-sequential score tiles
+    (~12 B/elem) + fp32 dk/dv pair accumulators + whole K/V/tables."""
+    n_q = 1
+    while n_q <= 64:
+        blk, rem = divmod(t_p, n_q)
+        if rem == 0 and blk % 8 == 0:
+            tiles = blk * t_p * 12
+            resid = (3 * t_p * 2 * d * 2      # khat2/v2 + k tables
+                     + 2 * t_p * 2 * d * 4    # dk/dv fp32 accumulators
+                     + 4 * blk * 2 * d * 4)   # q/do/dq tiles + q tables
+            if tiles + resid <= 12 * 2**20:
+                return blk
+        n_q += 1
+    return None
+
+
+def _pair_backward(qkv, out, stats, g_out, freqs, num_heads: int, kv_len=None):
+    b, t, three_hd = qkv.shape
+    valid = t if kv_len is None else kv_len
+    d = three_hd // (3 * num_heads)
+    g = num_heads // 2
+    scale = 1.0 / math.sqrt(d)
+    prescale = scale * LOG2E
+
+    in_dtype = qkv.dtype
+    qkv16 = qkv.astype(jnp.bfloat16)
+    t_p = _pair_whole_tile(t)
+    block_q = _pair_bwd_plan(t_p, d)
+    if t_p != t:
+        qkv16 = jnp.pad(qkv16, ((0, 0), (0, t_p - t), (0, 0)))
+    n_q = t_p // block_q
+
+    cq, sq, ck, sk, p2 = _pair_tables(freqs, d, t, t_p, prescale)
+
+    # K roped once in pair layout (recompute; see section comment)
+    tab = lambda b_, g_: (0, 0)
+    khat = pl.pallas_call(
+        _rope_pair_k_kernel,
+        grid=(b, g),
+        interpret=_interpret(),
+        in_specs=[
+            pl.BlockSpec((None, t_p, 2 * d), lambda b_, g_, _g=g: (b_, 0, _g + g_)),
+            pl.BlockSpec((t_p, 2 * d), tab),
+            pl.BlockSpec((t_p, 2 * d), tab),
+            pl.BlockSpec((2 * d, 2 * d), tab),
+        ],
+        out_specs=pl.BlockSpec((None, t_p, 2 * d), lambda b_, g_: (b_, 0, g_)),
+        out_shape=jax.ShapeDtypeStruct((b, t_p, num_heads * d), jnp.bfloat16),
+    )(qkv16, ck, sk, p2)
+
+    # FA2 D = rowsum(dO * O) per head, packed into stats lanes 2/3
+    pad_t = ((0, 0), (0, t_p - t), (0, 0))
+    do_p = jnp.pad(g_out.astype(jnp.bfloat16), pad_t)
+    o_p = jnp.pad(out.astype(jnp.bfloat16), pad_t)
+    delta = (do_p.astype(jnp.float32) * o_p.astype(jnp.float32)).reshape(
+        b, t_p, num_heads, d).sum(axis=3)                      # [B, t_p, H]
+    delta = delta.reshape(b, t_p, g, 2).transpose(0, 2, 1, 3)  # [B, G, t_p, 2]
+    bstats = jnp.concatenate(
+        [stats[:, :, :, :2], delta,
+         jnp.zeros((b, g, t_p, STAT_LANES - 4), jnp.float32)], axis=3)
+
+    kernel = functools.partial(_pair_bwd_kernel, kv_len=valid, d=d, n_q=n_q,
+                               inv_prescale=1.0 / LOG2E)
+    tab3 = lambda b_, g_, i: (0, 0)
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        # i innermost: khat/v blocks and the dk/dv accumulators stay
+        # resident across the q blocks of one (batch, pair)
+        grid=(b, g, n_q),
+        interpret=_interpret(),
+        in_specs=[
+            pl.BlockSpec((None, block_q, 2 * d), lambda b_, g_, i: (b_, i, g_)),
+            pl.BlockSpec((None, t_p, 2 * d), lambda b_, g_, i: (b_, 0, g_)),
+            pl.BlockSpec((None, t_p, 2 * d), lambda b_, g_, i, _g=g: (b_, 0, 2 * _g + g_)),
+            pl.BlockSpec((None, block_q, 2 * d), lambda b_, g_, i: (b_, i, g_)),
+            pl.BlockSpec((None, None, block_q, STAT_LANES), lambda b_, g_, i: (b_, g_, i, 0)),
+            pl.BlockSpec((block_q, 2 * d), lambda b_, g_, i: (i, 0)),
+            pl.BlockSpec((block_q, 2 * d), lambda b_, g_, i: (i, 0)),
+            pl.BlockSpec((t_p, 2 * d), tab3),
+            pl.BlockSpec((t_p, 2 * d), tab3),
+            pl.BlockSpec((2 * d, 2 * d), tab3),
+            pl.BlockSpec((2 * d, 2 * d), tab3),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, block_q, 2 * d), lambda b_, g_, i: (b_, i, g_)),
+            pl.BlockSpec((None, t_p, 2 * d), lambda b_, g_, i: (b_, 0, g_)),
+            pl.BlockSpec((None, t_p, 2 * d), lambda b_, g_, i: (b_, 0, g_)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, t_p, num_heads * d), jnp.float32),
+            jax.ShapeDtypeStruct((b, t_p, num_heads * d), jnp.float32),
+            jax.ShapeDtypeStruct((b, t_p, num_heads * d), jnp.float32),
+        ],
+    )(qkv16, khat, qkv16, do_p, bstats, cq, sq, ck, sk, p2, p2.T)
+
+    # dq/dk leave the kernel fully scaled and un-roped (see _pair_bwd_kernel)
+    dqkv = jnp.concatenate([dq[:, :t], dk[:, :t], dv[:, :t]],
+                           axis=-1).astype(in_dtype)
+    return dqkv
+
+
+def _pair_bwd_eligible(t: int, d: int, num_heads: int) -> bool:
+    if os.environ.get("FSAT_PAIR_BWD") == "0":
+        return False
+    if d != 64 or num_heads % 2:
+        return False
+    t_p = _pair_whole_tile(t)
+    return t_p is not None and _pair_bwd_plan(t_p, d) is not None
+
+
+# ---------------------------------------------------------------------------
 # long-sequence pair path (2048 < T <= SINGLE_DOT_MAX_TK): SA-2.0 long-form
 # ---------------------------------------------------------------------------
 #
@@ -910,6 +1341,13 @@ def _fused_pair(qkv, freqs, num_heads, kv_len=None):
 def _fused_pair_fwd(qkv, freqs, num_heads, kv_len=None):
     b, t, _ = qkv.shape
     d = qkv.shape[-1] // (3 * num_heads)
+    if _pair_bwd_eligible(t, d, num_heads) and not _use_xla_fallback():
+        # pair-layout training path: stats-saving pair forward, pair-layout
+        # fused backward — no head split/merge transposes or separate rope
+        # HBM passes on either side (measured 0.38/0.97 ms-per-layer layout
+        # overhead at train batch 4/8 on the unpack path, scripts/bwd_probe)
+        out, stats = _fused_pair_forward_stats(qkv, freqs, num_heads, kv_len)
+        return out, (qkv, out, stats, freqs)
     qr, kr, v = _fused_unpack(qkv, freqs, num_heads)
     flat = lambda x: x.reshape(b * num_heads, t, d)
     out, lse = _flash_forward(flat(qr), flat(kr), flat(v), False,
@@ -921,6 +1359,11 @@ def _fused_pair_fwd(qkv, freqs, num_heads, kv_len=None):
 
 
 def _fused_pair_bwd(num_heads, kv_len, res, g):
+    if len(res) == 4:  # pair-layout training path residuals
+        qkv, out, stats, freqs = res
+        dqkv = _pair_backward(qkv, out, stats, g, freqs, num_heads,
+                              kv_len=kv_len)
+        return dqkv, jnp.zeros_like(freqs)
     qr, kr, v, out, lse, freqs = res
     b, _, t, d = qr.shape
     flat = lambda x: x.reshape(b * num_heads, t, d)

@@ -17,6 +17,8 @@ TRACE_TIME_ENV_FLAGS = (
     "FSAT_INT8_BF16_TAIL",
     "FSAT_INT8_BF16_HEAD",
     "FSAT_FUSED_ATTN",
+    "FSAT_FUSED_BWD",
+    "FSAT_PAIR_BWD",
     "FSAT_FUSED_MLP",
     "FSAT_DISABLE_FUSED_MLP",
     "FSAT_PALLAS_CROSS",

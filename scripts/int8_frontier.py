@@ -34,10 +34,11 @@ CONFIGS = {
     # pre-warms the compile cache for bench.py's int8 secondary).
     "bf16": {},
     "int8": {"FSAT_INT8_MATMUL": "1"},
+    "int8_tail5": {"FSAT_INT8_MATMUL": "1", "FSAT_INT8_BF16_TAIL": "5"},
+    "int8_tail3": {"FSAT_INT8_MATMUL": "1", "FSAT_INT8_BF16_TAIL": "3"},
     "int8_tail10": {"FSAT_INT8_MATMUL": "1", "FSAT_INT8_BF16_TAIL": "10"},
     "int8_mlp": {"FSAT_INT8_MATMUL": "1", "FSAT_INT8_SCOPE": "mlp"},
     "int8_tail25": {"FSAT_INT8_MATMUL": "1", "FSAT_INT8_BF16_TAIL": "25"},
-    "int8_tail5": {"FSAT_INT8_MATMUL": "1", "FSAT_INT8_BF16_TAIL": "5"},
     "int8_mlp_tail10": {"FSAT_INT8_MATMUL": "1", "FSAT_INT8_SCOPE": "mlp",
                         "FSAT_INT8_BF16_TAIL": "10"},
 }

@@ -490,3 +490,75 @@ def test_feedforward_fused_mlp_path_matches_unfused(monkeypatch):
     assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(params_fused)
     got = ff.apply({"params": params}, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+def test_fused_single_pass_backward_matches_two_pass(monkeypatch):
+    """The fused single-pass backward (5 dots, 16-aligned padding) vs the
+    two-pass FA2 kernels (FSAT_FUSED_BWD=0), including multi-q-block dk/dv
+    accumulation (VMEM budget shrunk so the plan picks >1 block) and kv_len
+    masking."""
+    import friendly_stable_audio_tools_tpu.ops.pallas.flash_attention as fa
+
+    rng = np.random.RandomState(7)
+    bh, t, d = 3, 272, 64
+    kv_len = 260
+    q = jnp.asarray(rng.randn(bh, t, d), jnp.float32) * 0.3
+    k = jnp.asarray(rng.randn(bh, t, d), jnp.float32) * 0.3
+    v = jnp.asarray(rng.randn(bh, t, d), jnp.float32) * 0.3
+    g = jnp.asarray(rng.randn(bh, t, d), jnp.float32)
+    g = g.at[:, kv_len:].set(0.0)  # pipeline invariant: padded rows no cotangent
+
+    out, lse = fa._flash_forward(q, k, v, False, fa.DEFAULT_BLOCK_Q,
+                                 fa.DEFAULT_BLOCK_K, save_stats=True, kv_len=kv_len)
+
+    # force multi-block: budget that fits 136-row blocks but not 272
+    real_fits = fa._bwd_fused_fits
+    monkeypatch.setattr(fa, "_bwd_fused_fits",
+                        lambda bq, tkp, dd: bq <= 136 and real_fits(bq, tkp, dd))
+    plan = fa._bwd_fused_plan(t, t, d)
+    assert plan is not None and plan[1] < t  # >1 q block
+
+    fused = fa._flash_backward_fused(q, k, v, out, lse, g, kv_len=kv_len)
+    assert fused is not None
+
+    monkeypatch.setenv("FSAT_FUSED_BWD", "0")
+    ref = fa._flash_backward(q, k, v, out, lse, g, False,
+                             fa.DEFAULT_BLOCK_Q, fa.DEFAULT_BLOCK_K, kv_len=kv_len)
+    for a, b in zip(fused, ref):
+        np.testing.assert_allclose(np.asarray(a[:, :kv_len]),
+                                   np.asarray(b[:, :kv_len]), atol=5e-3)
+
+
+def test_pair_layout_backward_matches_unpack_path(monkeypatch):
+    """Pair-layout training backward (stats fwd + _pair_backward) vs the
+    unpack+FA2 path (FSAT_PAIR_BWD=0), with >1 q block (dk/dv grid
+    accumulation + per-block dq un-rope) and kv_len masking."""
+    import friendly_stable_audio_tools_tpu.ops.pallas.flash_attention as fa
+    from friendly_stable_audio_tools_tpu.ops.embeddings import rotary_freqs
+
+    rng = np.random.RandomState(9)
+    b, t, h, d = 2, 272, 4, 64
+    kv_len = 260
+    qkv = jnp.asarray(rng.randn(b, t, 3 * h * d), jnp.float32) * 0.3
+    freqs = rotary_freqs(t, 32)
+    g = jnp.asarray(rng.randn(b, t, h * d), jnp.float32)
+    g = g.at[:, kv_len:].set(0.0)
+
+    # force multiple q blocks in the pair backward
+    real_plan = fa._pair_bwd_plan
+    monkeypatch.setattr(fa, "_pair_bwd_plan",
+                        lambda tp_, dd: min(real_plan(tp_, dd) or tp_, tp_ // 2))
+    assert fa._pair_bwd_eligible(t, d, h)
+
+    def loss(qkv):
+        out = fa._fused_pair(qkv, freqs, h, kv_len)
+        return jnp.sum(out[:, :kv_len].astype(jnp.float32) ** 2)
+
+    got = jax.grad(loss)(qkv)
+
+    monkeypatch.setenv("FSAT_PAIR_BWD", "0")
+    ref = jax.grad(loss)(qkv)
+    np.testing.assert_allclose(np.asarray(got[:, :kv_len]),
+                               np.asarray(ref[:, :kv_len]), atol=6e-3)
+    # padded-row cotangents stay zero on both paths
+    np.testing.assert_allclose(np.asarray(got[:, kv_len:]), 0.0, atol=1e-6)

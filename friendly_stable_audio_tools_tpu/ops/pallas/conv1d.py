@@ -406,6 +406,11 @@ def snake_conv_transpose1d(
         and bt >= 128
         and bt % 64 == 0
         and w_bytes < 6 * 2**20
+        # the in-kernel [bt, half*cout] -> [bt, half, cout] shape cast needs
+        # a lane-aligned cout: Mosaic rejects it for cout < 128 (hit by the
+        # SEANet/encodec decoder, cout 64 at stride 8 — "infer-vector-layout:
+        # unsupported shape cast"); those shapes take the GEMM form below
+        and cout % 128 == 0
     )
     if not use_pallas:
         if (

@@ -1,0 +1,184 @@
+"""Long-form (SA-2.0, 6144 latent frames) per-component step decomposition.
+
+Round 4 claimed the 313.6 ms long-form CFG step was "within ~10% of its
+composite roofline" from components that only summed to ~220-237 ms — an
+~80 ms accounting hole (VERDICT round-4 weak #3). This probe measures each
+component at the TRUE long-form shapes (CFG batch 2, t = 6146 tokens,
+padded 6272) so the decomposition's rows sum against the measured step:
+
+  attn_full      gridded pair kernel (_pair_long path) incl. K-rope pass
+  attn_dots      same kernel with the softmax stripped (p = s): dots,
+                 masking and memory orchestration only
+  attn_softmax   full - dots = the VPU exp2/max/sum share (T^2-scaling:
+                 48 head-rows x 6272^2 = 1.9e9 transcendentals per layer)
+  krope          pair-layout K rope kernel alone
+  gemms          the block's linear GEMM chain at M = 2x6146
+  ln_adaln       LN + adaLN modulation + residual elementwise traffic
+  cross          cross-attention group (130 kv tokens, XLA fused path)
+  block_full     one whole TransformerBlock (x24 ~ step minus io convs)
+
+    PROBE_FRAMES=6144 python scripts/tpu_probe.py --section step   # step
+    python scripts/longform_probe.py                               # parts
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import sys
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_probe import emit, timeit_loop  # noqa: E402
+
+
+B, T, DIM, HEADS, DH = 2, 6146, 1536, 24, 64
+FF = 4 * DIM
+
+
+def attn_probes(n=5):
+    import friendly_stable_audio_tools_tpu.ops.pallas.flash_attention as fa
+    from friendly_stable_audio_tools_tpu.ops.embeddings import rotary_freqs
+
+    rng = jax.random.PRNGKey(0)
+    qkv = jax.random.normal(rng, (B, T, 3 * DIM), jnp.bfloat16) * 0.1
+    freqs = rotary_freqs(T, 32)
+
+    t_full = timeit_loop(lambda z: fa._pair_long(z, freqs, HEADS, None), qkv, n=n)
+    # true quadratic dot FLOPs (2 dots x 2*bh*t^2*d)
+    f_dots = 4.0 * (B * HEADS) * T * T * DH * 2
+    emit(probe="lf_attn_full", ms=round(t_full * 1e3, 3),
+         step24_ms=round(t_full * 24e3, 1),
+         dots_tflops_eq=round(f_dots / t_full / 1e12, 1))
+
+    # dots-only variant: same grid/BlockSpecs/rope, softmax replaced by a
+    # cheap affine (p = s * 1e-4) so the dots and masking remain
+    def _dots_kernel(q2_ref, kh2_ref, v2_ref, cq_ref, sq_ref, p2_ref, o_ref,
+                     *, kv_len, d):
+        t_pk = kh2_ref.shape[0]
+        q2 = fa._rope_arr(q2_ref[:], cq_ref[:], sq_ref[:], p2_ref[:])
+        for j in range(2):
+            q = q2[:, j * d:(j + 1) * d]
+            k = kh2_ref[:, j * d:(j + 1) * d]
+            v = v2_ref[:, j * d:(j + 1) * d]
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            if kv_len < t_pk:
+                kpos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                s = jnp.where(kpos < kv_len, s, 0.0)
+            p = s * 1e-4
+            acc = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            o_ref[:, j * d:(j + 1) * d] = acc.astype(o_ref.dtype)
+
+    real_kernel = fa._pair_long_kernel
+    try:
+        fa._pair_long_kernel = _dots_kernel
+        t_dots = timeit_loop(lambda z: fa._pair_long_forward(z, freqs, HEADS, None),
+                             qkv, n=n)
+    finally:
+        fa._pair_long_kernel = real_kernel
+    emit(probe="lf_attn_dots", ms=round(t_dots * 1e3, 3),
+         step24_ms=round(t_dots * 24e3, 1),
+         dots_tflops_eq=round(f_dots / t_dots / 1e12, 1))
+    emit(probe="lf_attn_softmax_share", ms=round((t_full - t_dots) * 1e3, 3),
+         step24_ms=round((t_full - t_dots) * 24e3, 1))
+
+
+def gemm_probe(n=5):
+    rng = jax.random.PRNGKey(1)
+    x = jax.random.normal(rng, (B, T, DIM), jnp.bfloat16) * 0.1
+    w_qkv = jax.random.normal(rng, (DIM, 3 * DIM), jnp.bfloat16) * 0.02
+    w_out = jax.random.normal(rng, (DIM, DIM), jnp.bfloat16) * 0.02
+    w_cq = jax.random.normal(rng, (DIM, DIM), jnp.bfloat16) * 0.02
+    w_co = jax.random.normal(rng, (DIM, DIM), jnp.bfloat16) * 0.02
+    w_in = jax.random.normal(rng, (DIM, 2 * FF), jnp.bfloat16) * 0.02
+    w_o2 = jax.random.normal(rng, (FF, DIM), jnp.bfloat16) * 0.02
+
+    def gemms(x, w_qkv, w_out, w_cq, w_co, w_in, w_o2):
+        qkv = x @ w_qkv
+        a = qkv[..., :DIM] @ w_out
+        cq = (a[: B // 2] @ w_cq) @ w_co
+        h = a + jnp.concatenate([cq, jnp.zeros_like(cq)], 0)
+        g = h @ w_in
+        y = (g[..., :FF] * jax.nn.silu(g[..., FF:])) @ w_o2
+        return h + y
+
+    flops = (2 * B * T * DIM * (3 * DIM + DIM + 2 * FF)
+             + 2 * B * T * FF * DIM + (B // 2) * 2 * T * DIM * 2 * DIM)
+    tg = timeit_loop(gemms, x, w_qkv, w_out, w_cq, w_co, w_in, w_o2, n=n)
+    emit(probe="lf_gemms", ms=round(tg * 1e3, 3), step24_ms=round(tg * 24e3, 1),
+         tflops=round(flops / tg / 1e12, 1))
+
+
+def ln_adaln_probe(n=5):
+    from friendly_stable_audio_tools_tpu.models.transformer import LayerNorm
+
+    rng = jax.random.PRNGKey(2)
+    x = jax.random.normal(rng, (B, T, DIM), jnp.bfloat16) * 0.1
+    ln = LayerNorm()
+    p = ln.init(jax.random.PRNGKey(0), x)["params"]
+    scale = jax.random.normal(rng, (B, 1, DIM), jnp.bfloat16) * 0.1
+    shift = jax.random.normal(rng, (B, 1, DIM), jnp.bfloat16) * 0.1
+    gate = jax.random.normal(rng, (B, 1, DIM), jnp.bfloat16) * 0.1
+
+    def chain(x, p, scale, shift, gate):
+        # pre-attn LN+mod, post-attn gated residual, pre-mlp LN+mod,
+        # post-mlp gated residual: the block's 2 LN + 4 modulation passes
+        h = ln.apply({"params": p}, x) * (1 + scale) + shift
+        x = x + h * jax.nn.sigmoid(gate)
+        h = ln.apply({"params": p}, x) * (1 + scale) + shift
+        return x + h * jax.nn.sigmoid(gate)
+
+    t = timeit_loop(chain, x, p, scale, shift, gate, n=n)
+    emit(probe="lf_ln_adaln", ms=round(t * 1e3, 3), step24_ms=round(t * 24e3, 1))
+
+
+def cross_probe(n=5):
+    from friendly_stable_audio_tools_tpu.ops.attention import scaled_dot_product_attention
+
+    rng = jax.random.PRNGKey(3)
+    q = jax.random.normal(rng, (1, HEADS, T, DH), jnp.bfloat16) * 0.1  # cond half
+    kv = jax.random.normal(rng, (1, HEADS, 130, DH), jnp.bfloat16) * 0.1
+
+    t = timeit_loop(lambda q: scaled_dot_product_attention(q, kv, kv), q, n=n)
+    emit(probe="lf_cross_attn", ms=round(t * 1e3, 3), step24_ms=round(t * 24e3, 1))
+
+
+def block_probe(n=3):
+    from friendly_stable_audio_tools_tpu.models.transformer import TransformerBlock
+    from friendly_stable_audio_tools_tpu.ops.embeddings import rotary_freqs
+    from friendly_stable_audio_tools_tpu.utils.common import dezero_params
+
+    rng = jax.random.PRNGKey(4)
+    block = TransformerBlock(dim=DIM, dim_heads=DH, cross_attend=True, dim_context=768)
+    x = jax.random.normal(rng, (B, T, DIM), jnp.bfloat16) * 0.1
+    ctx = jax.random.normal(jax.random.fold_in(rng, 1), (B, 130, 768), jnp.bfloat16) * 0.1
+    rot = rotary_freqs(T, 32)
+    params = block.init(jax.random.PRNGKey(0), x, context=ctx, rotary_pos_emb=rot)["params"]
+    params = dezero_params(params, dtype=jnp.bfloat16)
+
+    tb = timeit_loop(
+        lambda x, p: block.apply({"params": p}, x, context=ctx, rotary_pos_emb=rot,
+                                 cross_half_batch=True),
+        x, params, n=n)
+    emit(probe="lf_block_full", ms=round(tb * 1e3, 3), step24_ms=round(tb * 24e3, 1))
+
+
+def main():
+    emit(probe="env", device=str(jax.devices()[0]), t=T, cfg_batch=B)
+    attn_probes()
+    gemm_probe()
+    ln_adaln_probe()
+    cross_probe()
+    block_probe()
+
+
+if __name__ == "__main__":
+    main()

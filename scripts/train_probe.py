@@ -78,12 +78,14 @@ def probe_full(n=3, batches=(4, 8)):
         b = wrapper.prepare_batch(reals, meta)
         state = wrapper.init_state()
 
-        step = jax.jit(functools.partial(wrapper.train_step, frozen=frozen),
+        # frozen params ride as jit ARGUMENTS (stale-weight/giant-constant
+        # hazard — repo convention)
+        step = jax.jit(lambda s, b_, k, fz: wrapper.train_step(s, b_, k, frozen=fz),
                        donate_argnums=(0,))
         holder = {"s": state}
 
         def run(b, key):
-            holder["s"], metrics = step(holder["s"], b, key)
+            holder["s"], metrics = step(holder["s"], b, key, frozen)
             return metrics["loss"]
 
         t = timeit(functools.partial(run, b), jax.random.PRNGKey(1), n=n)
@@ -194,12 +196,12 @@ def probe_lm(n=3, batch=8, seconds=10):
     meta = [{"prompt": "probe prompt"} for _ in range(batch)]
     b = wrapper.prepare_batch(reals, meta)
 
-    step = jax.jit(functools.partial(wrapper.train_step, frozen=frozen),
+    step = jax.jit(lambda s, b_, k, fz: wrapper.train_step(s, b_, k, frozen=fz),
                    donate_argnums=(0,))
     holder = {"s": state}
 
     def run(b, key):
-        holder["s"], metrics = step(holder["s"], b, key)
+        holder["s"], metrics = step(holder["s"], b, key, frozen)
         return metrics["loss"]
 
     t = timeit(functools.partial(run, b), jax.random.PRNGKey(1), n=n)

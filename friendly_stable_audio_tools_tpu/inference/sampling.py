@@ -63,7 +63,8 @@ def get_sigmas_polyexponential(n: int, sigma_min: float, sigma_max: float, rho: 
 # --------------------------------------------------------------------------
 
 
-def make_hybrid_quant_denoiser(denoiser, sigmas: np.ndarray, steps: int):
+def make_hybrid_quant_denoiser(denoiser, sigmas: np.ndarray, steps: int,
+                               scale=None):
     """Run part of the trajectory in bf16 when int8 matmuls are active.
 
     With FSAT_INT8_MATMUL=1, FSAT_INT8_BF16_TAIL=N runs the sigma range
@@ -103,12 +104,22 @@ def make_hybrid_quant_denoiser(denoiser, sigmas: np.ndarray, steps: int):
 
         return all_bf16
 
-    # sigmas is strictly decreasing; step i uses sigmas[i]. Last N steps are
-    # sigma <= sigmas[steps-N]; first M steps are sigma >= sigmas[M-1]. The
-    # 1e-6 relative slack keeps the boundary step on its intended side of the
-    # fp32 comparison.
-    lo = float(sigmas[steps - tail]) * (1 + 1e-6) if tail > 0 else -np.inf
-    hi = float(sigmas[head - 1]) * (1 - 1e-6) if head > 0 else np.inf
+    # sigmas is a strictly decreasing HOST-side grid; step i uses sigmas[i].
+    # Last N steps are sigma <= sigmas[steps-N]; first M steps are sigma >=
+    # sigmas[M-1]. Thresholds sit at the MIDPOINT between adjacent grid
+    # entries, so any sub-half-spacing numeric drift between this grid and
+    # the values the loop actually compares (e.g. fp64 np.linspace here vs
+    # the fp32 jnp grid in the scan, which can exceed a fixed 1e-6 relative
+    # slack near t -> 0) cannot flip a boundary step's regime. `scale`
+    # multiplies the thresholds at run time — it may be a TRACED scalar
+    # (rectified-flow variation mode passes sigma_max = init_noise_level
+    # inside the jitted generation program, where nothing is concretizable).
+    sig = np.asarray(sigmas, np.float64)
+    lo = float((sig[steps - tail] + sig[steps - tail - 1]) / 2) if tail > 0 else -np.inf
+    hi = float((sig[head - 1] + sig[head]) / 2) if head > 0 else np.inf
+    if scale is not None:
+        lo = lo * scale if tail > 0 else -np.inf
+        hi = hi * scale if head > 0 else np.inf
 
     def bf16_fn(x, sigma):
         with quant_override(False):
@@ -853,14 +864,14 @@ def sample(model_fn, x, steps: int, eta: float = 0.0, rng: tp.Optional[jax.Array
     emit = make_step_emitter(verbose=verbose, callback=callback, total_steps=steps)
 
     # hybrid int8/bf16 schedule applies to every sampler family, keyed on the
-    # step's (decreasing) scalar t — not just sample_k's sigma grid.
-    # Thresholds come from the SAME fp32 grid the loop compares against
-    # (jnp.linspace), not a float64 np.linspace recomputation whose near-zero
-    # entries can differ by more than the 1e-6 relative slack.
+    # step's (decreasing) scalar t — not just sample_k's sigma grid. The
+    # host-side grid only anchors MIDPOINT thresholds (see
+    # make_hybrid_quant_denoiser), so fp64-vs-fp32 linspace drift is
+    # harmless; under jit the jnp grid is a tracer and unusable here.
     model_call = make_hybrid_quant_denoiser(
         lambda xx, tc: model_fn(
             xx, jnp.full((xx.shape[0],), tc, jnp.float32), **extra_args),
-        np.asarray(t_grid), steps)
+        np.linspace(1.0, 0.0, steps + 1), steps)
 
     def body(carry, ix):
         x, _ = carry
@@ -901,12 +912,14 @@ def sample_discrete_euler(model_fn, x, steps: int, sigma_max: float = 1.0, verbo
     emit = make_step_emitter(verbose=verbose, callback=callback, total_steps=steps)
 
     # hybrid int8/bf16 schedule (FSAT_INT8_BF16_TAIL/HEAD) keyed on the
-    # decreasing rectified-flow t grid, same mechanism as sample_k; thresholds
-    # taken from the SAME fp32 grid the loop uses (see sample() note)
+    # decreasing rectified-flow t grid, same mechanism as sample_k. The
+    # grid is RELATIVE (linspace 1 -> 0) with thresholds scaled by
+    # sigma_max at run time: in variation mode sigma_max is a traced value
+    # inside the jitted generation program and cannot be concretized.
     model_call = make_hybrid_quant_denoiser(
         lambda xx, tc: model_fn(
             xx, jnp.full((xx.shape[0],), tc, jnp.float32), **extra_args),
-        np.asarray(t), steps)
+        np.linspace(1.0, 0.0, steps + 1), steps, scale=sigma_max)
 
     def body(x, i):
         t_curr, t_prev = t[i], t[i + 1]

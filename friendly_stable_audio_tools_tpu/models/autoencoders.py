@@ -85,17 +85,24 @@ class EncoderBlock(nn.Module):
     def __call__(self, x):
         for i, d in enumerate((1, 3, 9)):
             x = ResidualUnit(self.in_channels, self.in_channels, d, self.use_snake, name=f"res{i}")(x)
-        act = "snake" if self.use_snake else "elu"
-        x = get_activation(act, channels=self.in_channels, name="act")(x)
-        x = WNConv1d(
+        down = WNConv1d(
             self.in_channels,
             self.out_channels,
             2 * self.stride,
             stride=self.stride,
             padding=math.ceil(self.stride / 2),
             name="down",
-        )(x)
-        return x
+        )
+        if self.use_snake:
+            # snake handed to the conv: fuses into the downsample's
+            # reshape-GEMM form (polynomial sin^2) instead of a separate
+            # fp32-trig HBM pass at the pre-downsample sample rate
+            from ..ops.activations import SnakeBeta
+
+            act = SnakeBeta(self.in_channels, name="act")
+            return down(x, snake=act.effective())
+        x = get_activation("elu", channels=self.in_channels, name="act")(x)
+        return down(x)
 
 
 class DecoderBlock(nn.Module):

@@ -124,6 +124,7 @@ class DiffusionTransformer(nn.Module):
         prepend_cond_mask=None,
         return_info: bool = False,
         cross_half_batch: bool = False,
+        train: bool = False,
     ):
         # x: [B, T, C]; t: [B]
         if cross_attn_cond is not None:
@@ -187,6 +188,7 @@ class DiffusionTransformer(nn.Module):
             mask=mask,
             return_info=return_info,
             cross_half_batch=cross_half_batch,
+            train=train,
             **extra,
         )
         info = None
@@ -251,7 +253,7 @@ class DiffusionTransformer(nn.Module):
                 cross_attn_cond=cross_attn_cond, cross_attn_cond_mask=cross_attn_cond_mask,
                 input_concat_cond=input_concat_cond, global_embed=global_embed,
                 prepend_cond=prepend_cond, prepend_cond_mask=prepend_cond_mask,
-                return_info=return_info,
+                return_info=return_info, train=train,
             )
 
         if not batch_cfg:
@@ -262,7 +264,7 @@ class DiffusionTransformer(nn.Module):
                 cross_attn_cond_mask=cross_attn_cond_mask,
                 input_concat_cond=input_concat_cond, global_embed=global_embed,
                 prepend_cond=prepend_cond, prepend_cond_mask=prepend_cond_mask,
-                return_info=return_info,
+                return_info=return_info, train=train,
             )
             info = None
             cond_output = cond_res
@@ -284,6 +286,7 @@ class DiffusionTransformer(nn.Module):
                 cross_attn_cond_mask=cross_attn_cond_mask,
                 input_concat_cond=input_concat_cond, global_embed=global_embed,
                 prepend_cond=null_prepend, prepend_cond_mask=prepend_cond_mask,
+                train=train,
             )
             cfg_output = uncond_output + (cond_output - uncond_output) * cfg_scale
             if scale_phi != 0.0:
@@ -336,6 +339,7 @@ class DiffusionTransformer(nn.Module):
             prepend_cond=batch_prepend_cond,
             prepend_cond_mask=dup(prepend_cond_mask),
             return_info=return_info,
+            train=train,
             cross_half_batch=cross_half,
         )
         info = None

@@ -75,12 +75,14 @@ class ContinuousTransformerAudioLMBackbone(nn.Module):
         return prepend_cond, prepend_cond_mask, cross_attn_cond, prepend_length
 
     def __call__(self, x, mask=None, prepend_cond=None, prepend_cond_mask=None,
-                 cross_attn_cond=None, global_cond=None, use_cache: bool = False):
+                 cross_attn_cond=None, global_cond=None, use_cache: bool = False,
+                 train: bool = False):
         prepend_cond, prepend_cond_mask, cross_attn_cond, pl = self._prep(
             prepend_cond, prepend_cond_mask, cross_attn_cond)
         out = self.model(
             x, mask=mask, context=cross_attn_cond,
             prepend_embeds=prepend_cond, prepend_mask=prepend_cond_mask,
+            train=train,
         )
         return out[:, pl:, :]
 

@@ -331,6 +331,7 @@ class TransformerBlock(nn.Module):
     ff_mult: int = 4
     self_kv_len: tp.Optional[int] = None  # see Attention.self_kv_len
     seq_shard_axis: tp.Optional[str] = None  # see Attention.seq_shard_axis
+    cross_cfg_skip: bool = False  # static form of the cross_half_batch kwarg
 
     @nn.compact
     def __call__(
@@ -345,6 +346,11 @@ class TransformerBlock(nn.Module):
         return_kv: bool = False,
         cross_half_batch: bool = False,
     ):
+        # the CFG cross-skip can also be set as a module attribute
+        # (cross_cfg_skip) — under nn.remat a True call kwarg becomes a
+        # traced bool and crashes the `if not cross_half_batch` branch
+        # (jax.checkpoint has no static kwargs); attributes are static.
+        cross_half_batch = cross_half_batch or self.cross_cfg_skip
         norm = (lambda d, name: LayerNorm(d, name=name)) if not self.remove_norms else (
             lambda d, name: (lambda y: y)
         )
@@ -459,9 +465,11 @@ class ContinuousTransformer(nn.Module):
     seq_shard_axis: tp.Optional[str] = None
 
     def _block(self, i, remat: bool = False,
-               self_kv_len: tp.Optional[int] = None) -> TransformerBlock:
+               self_kv_len: tp.Optional[int] = None,
+               cross_cfg_skip: bool = False) -> TransformerBlock:
         cls = nn.remat(TransformerBlock) if remat else TransformerBlock
         return cls(
+            cross_cfg_skip=cross_cfg_skip,
             dim=self.dim,
             dim_heads=self.dim_heads,
             cross_attend=self.cross_attend,
@@ -493,6 +501,7 @@ class ContinuousTransformer(nn.Module):
         return_kv: bool = False,
         rotary_offset: int = 0,
         cross_half_batch: bool = False,
+        train: bool = False,
     ):
         batch, seq = x.shape[:2]
         info = {"hidden_states": []}
@@ -597,11 +606,15 @@ class ContinuousTransformer(nn.Module):
                 )
                 new_kvs.append(kv)
             else:
-                kw = {"cross_half_batch": True} if cross_half_batch else {}
-                x = self._block(i, remat=self.grad_checkpointing,
-                                self_kv_len=self_kv_len)(
+                # remat only under training like the reference
+                # (transformer.py:800-802 gates on self.training): at
+                # inference the checkpoint regions block XLA fusion for no
+                # memory benefit — measured ~10% on SAO-config generation
+                x = self._block(i, remat=self.grad_checkpointing and train,
+                                self_kv_len=self_kv_len,
+                                cross_cfg_skip=bool(cross_half_batch))(
                     x, context=context, global_cond=global_cond, mask=mask,
-                    context_mask=context_mask, rotary_pos_emb=rot, **kw,
+                    context_mask=context_mask, rotary_pos_emb=rot,
                 )
             if self.seq_shard_axis is not None:
                 from ..parallel.sp import seq_constraint

@@ -246,6 +246,28 @@ class WNConv1d(nn.Module):
                 x, w, self.bias if self.use_bias else None, alpha, inv_beta,
                 dilation=self.dilation, padding=self.padding,
             )
+        # encoder downsample (k = 2*stride, torch padding ceil(s/2)): the
+        # s-phase reshape-GEMM form (ops/pallas/conv1d.py) instead of XLA's
+        # generic strided-conv lowering; FSAT_DISABLE_PALLAS_CONV=1 A/Bs it
+        import os as _os
+
+        if (
+            _os.environ.get("FSAT_DISABLE_PALLAS_CONV") != "1"
+            and self.groups == 1
+            and self.dilation == 1
+            and self.stride > 1
+            and self.stride % 2 == 0
+            and self.kernel_size == 2 * self.stride
+            and isinstance(self.padding, int)
+            and self.padding == self.stride // 2
+            and x.shape[1] % self.stride == 0
+        ):
+            from .pallas.conv1d import snake_downsample_conv1d
+
+            alpha, inv_beta = snake if snake is not None else (None, None)
+            return snake_downsample_conv1d(
+                x, w, self.bias if self.use_bias else None, alpha, inv_beta,
+                self.stride)
         if snake is not None:
             alpha, inv_beta = snake
             x32 = x.astype(jnp.float32)

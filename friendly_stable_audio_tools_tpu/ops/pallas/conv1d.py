@@ -312,6 +312,44 @@ def _upk_xla(x, w, bias, alpha, inv_beta, stride):
     return (y.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
 
 
+def snake_downsample_conv1d(x, w, bias, alpha, inv_beta, stride):
+    """Strided downsample conv (k = 2s, stride s, torch padding s/2) as two
+    [T/s, s*Cin] x [s*Cin, Cout] GEMMs over a FREE s-phase row reshape —
+    the encoder-side mirror of _upk_gemm. XLA's generic strided-conv
+    lowering left the encoder ~3x slower per audio-second than the decoder
+    (round-5 scripts/train_probe.py: the frozen-VAE encode was 366.5 ms of
+    a 501 ms SAO raw-audio train step at batch 2); this form turns every
+    downsample into MXU-shaped GEMMs. Polynomial sin^2 snake like the
+    Pallas kernels; pure XLA, so autodiff needs no custom_vjp.
+
+    out[q] = b + sum_r w[r] . xpad[q*s + r], xpad = pad(x, (s/2, s/2)):
+    with k = 2s the window is exactly two consecutive rows of the
+    [T/s + 1, s*Cin] reshape (row-major view, no data movement), and the
+    [tap, channel] flatten order of each row matches w's [k, Cin] flatten.
+
+    Reference semantics: autoencoders.py:71-87 (WNConv1d(k=2*stride,
+    stride=stride, padding=ceil(stride/2)))."""
+    b, t, cin = x.shape
+    k, _, cout = w.shape
+    s = stride
+    p = s // 2
+    if alpha is not None:
+        # snake(0) == 0, so padding AFTER the snake is exact
+        x = _snake(x.astype(jnp.float32), alpha, inv_beta).astype(x.dtype)
+    xp = jnp.pad(x, ((0, 0), (p, s - p), (0, 0)))
+    xr = xp.reshape(b, t // s + 1, s * cin)
+    wf = w.astype(x.dtype).reshape(k * cin, cout)
+
+    def dd(a, wm):
+        return jax.lax.dot_general(a, wm, (((2,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    y = dd(xr[:, :-1], wf[: s * cin]) + dd(xr[:, 1:], wf[s * cin:])
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
 def _upk_gemm(x, w, bias, alpha, inv_beta, stride):
     """Phase-grouped GEMM form of the upsample in plain XLA: the same
     (x[q], x[q-+1]) two-tap decomposition as _upk_kernel, but as four

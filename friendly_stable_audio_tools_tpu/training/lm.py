@@ -126,7 +126,7 @@ class AudioLanguageModelTrainingWrapper:
 
             out = self.lm.compute_logits(
                 params["model"], codes_bkt, condition_tensors=cond_tensors,
-                cfg_dropout_prob=self.cfg_dropout_prob, rng=k_cfg,
+                cfg_dropout_prob=self.cfg_dropout_prob, rng=k_cfg, train=True,
             )
             logits = out.logits  # [B, K, T, card]
             valid = out.mask & token_mask[:, None, :]  # [B, K, T]

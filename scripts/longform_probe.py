@@ -52,7 +52,7 @@ def attn_probes(n=5):
 
     t_full = timeit_loop(lambda z: fa._pair_long(z, freqs, HEADS, None), qkv, n=n)
     # true quadratic dot FLOPs (2 dots x 2*bh*t^2*d)
-    f_dots = 4.0 * (B * HEADS) * T * T * DH * 2
+    f_dots = 2 * (2.0 * (B * HEADS) * T * T * DH)  # 2 dots x 2MNK
     emit(probe="lf_attn_full", ms=round(t_full * 1e3, 3),
          step24_ms=round(t_full * 24e3, 1),
          dots_tflops_eq=round(f_dots / t_full / 1e12, 1))
@@ -122,7 +122,7 @@ def ln_adaln_probe(n=5):
 
     rng = jax.random.PRNGKey(2)
     x = jax.random.normal(rng, (B, T, DIM), jnp.bfloat16) * 0.1
-    ln = LayerNorm()
+    ln = LayerNorm(DIM)
     p = ln.init(jax.random.PRNGKey(0), x)["params"]
     scale = jax.random.normal(rng, (B, 1, DIM), jnp.bfloat16) * 0.1
     shift = jax.random.normal(rng, (B, 1, DIM), jnp.bfloat16) * 0.1

@@ -58,13 +58,28 @@ def _load(rel):
         return json.load(f)
 
 
-def probe_full(n=3, batches=(4, 8)):
+def probe_full(n=3, batches=(2, 4, 8)):
     from friendly_stable_audio_tools_tpu.models.factory import create_model_from_config
     from friendly_stable_audio_tools_tpu.training.diffusion import DiffusionCondTrainingWrapper
 
     cfg = _load("txt2audio/stable_audio_open_1_0.json")
     sample_size = cfg["sample_size"]  # 2,097,152 = 47.55 s
     model = create_model_from_config(cfg, init_rng=jax.random.PRNGKey(0))
+
+    # bf16 params/activations (the repo's training policy; fp32 trees put
+    # 12.6 GB of arguments on a 15.75 GB chip and OOM)
+    def cast16(tree):
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16)
+            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating) else a,
+            tree)
+
+    model.params = cast16(model.params)
+    for c in model.conditioner.conditioners.values():
+        if c.params:
+            c.params = cast16(c.params)
+    if model.pretransform is not None and getattr(model.pretransform, "model", None) is not None:
+        model.pretransform.model.params = cast16(model.pretransform.model.params)
     wrapper = DiffusionCondTrainingWrapper(
         model, use_ema=True, cfg_dropout_prob=0.1,
         optimizer_configs={"diffusion": SGD})
@@ -76,11 +91,17 @@ def probe_full(n=3, batches=(4, 8)):
         meta = [{"prompt": "probe prompt", "seconds_start": 0,
                  "seconds_total": 47} for _ in range(batch)]
         b = wrapper.prepare_batch(reals, meta)
+        b["reals"] = b["reals"].astype(jnp.bfloat16)
+        # the in-step VAE encode's activation peak limits a single 15.75 GB
+        # chip to ~2 raw-audio samples per microbatch (batch 4 measured
+        # program 15.2 GB); larger batches run as microbatch-2 gradient
+        # accumulation (accumulate_grad_batches parity, one optimizer step)
+        accum = max(1, batch // 2)
         state = wrapper.init_state()
 
         # frozen params ride as jit ARGUMENTS (stale-weight/giant-constant
         # hazard — repo convention)
-        step = jax.jit(lambda s, b_, k, fz: wrapper.train_step(s, b_, k, frozen=fz),
+        step = jax.jit(lambda s, b_, k, fz: wrapper.train_step(s, b_, k, accum=accum, frozen=fz),
                        donate_argnums=(0,))
         holder = {"s": state}
 
@@ -89,7 +110,7 @@ def probe_full(n=3, batches=(4, 8)):
             return metrics["loss"]
 
         t = timeit(functools.partial(run, b), jax.random.PRNGKey(1), n=n)
-        emit(probe="train_full_sao", batch=batch, ms=round(t * 1e3, 1),
+        emit(probe="train_full_sao", batch=batch, accum=accum, ms=round(t * 1e3, 1),
              samples_per_s=round(batch / t, 2),
              audio_s_per_s=round(batch * sample_size / 44100 / t, 1))
 

@@ -168,3 +168,25 @@ def test_chunked_windowed_attention_matches_banded():
         ref = _xla_attention(q, k, v, mask=band)
         got = _chunked_windowed_attention(q, k, v, ks, chunk=128)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_dit_remat_cfg_batch_double():
+    """grad_checkpointing + CFG batch-doubling (cross_half_batch skip) must
+    coexist: nn.remat turns call kwargs into tracers, so the skip flag rides
+    as a static module attribute (regression: SAO-config inpaint generation
+    crashed with TracerBoolConversionError)."""
+    m, params = make_dit(grad_checkpointing=True)
+    x = jnp.ones((1, 16, 4)) * 0.1
+    t = jnp.ones((1,))
+    cond = jnp.ones((1, 5, 8)) * 0.1
+    g = jnp.ones((1, 12)) * 0.1
+    out = jax.jit(lambda p, x: m.apply(
+        p, x, t, cross_attn_cond=cond, global_embed=g, cfg_scale=3.0))(params, x)
+    assert out.shape == (1, 16, 4)
+    assert np.isfinite(np.asarray(out)).all()
+    # and the remat path must still differentiate
+    gr = jax.grad(lambda p: m.apply(p, x, t, cross_attn_cond=cond,
+                                    global_embed=g).sum())(params)
+    flat = np.concatenate([np.asarray(l, np.float32).ravel()
+                           for l in jax.tree_util.tree_leaves(gr)])
+    assert np.isfinite(flat).all()

@@ -562,3 +562,35 @@ def test_pair_layout_backward_matches_unpack_path(monkeypatch):
                                np.asarray(ref[:, :kv_len]), atol=6e-3)
     # padded-row cotangents stay zero on both paths
     np.testing.assert_allclose(np.asarray(got[:, kv_len:]), 0.0, atol=1e-6)
+
+
+@pytest.mark.parametrize("stride,cin,cout", [(2, 16, 32), (4, 32, 16), (8, 8, 8)])
+def test_snake_downsample_gemm_matches_xla(stride, cin, cout):
+    """Encoder downsample reshape-GEMM form == XLA strided conv (+ separate
+    cos-form snake), forward and grad, with and without snake."""
+    from friendly_stable_audio_tools_tpu.ops.convs import conv1d
+    from friendly_stable_audio_tools_tpu.ops.pallas.conv1d import snake_downsample_conv1d
+
+    rng = np.random.RandomState(6)
+    t = 64 * stride
+    x = jnp.asarray(rng.randn(2, t, cin), jnp.float32) * 0.3
+    w = jnp.asarray(rng.randn(2 * stride, cin, cout), jnp.float32) * 0.05
+    bias = jnp.asarray(rng.randn(cout), jnp.float32) * 0.1
+    a = jnp.asarray(np.abs(rng.randn(cin)) + 0.5, jnp.float32)
+    ib = jnp.asarray(np.abs(rng.randn(cin)) + 0.5, jnp.float32)
+
+    def ref(x, snake):
+        h = x
+        if snake:
+            h = h + 0.5 * ib * (1.0 - jnp.cos(2.0 * a * h))
+        return conv1d(h, w, stride, stride // 2) + bias
+
+    for snake in (False, True):
+        al, ibv = (a, ib) if snake else (None, None)
+        got = snake_downsample_conv1d(x, w, bias, al, ibv, stride)
+        want = ref(x, snake)
+        assert got.shape == want.shape == (2, t // stride, cout)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+        g = jax.grad(lambda x: (snake_downsample_conv1d(x, w, bias, al, ibv, stride) ** 2).sum())(x)
+        gr = jax.grad(lambda x: (ref(x, snake) ** 2).sum())(x)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(gr), atol=2e-3)

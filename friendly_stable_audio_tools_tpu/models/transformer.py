@@ -37,18 +37,28 @@ class LayerNorm(nn.Module):
     fix_scale: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, scale_shift=None):
+        gamma = (None if self.fix_scale else
+                 self.param("gamma", nn.initializers.ones, (self.dim,), jnp.float32))
+        if scale_shift is not None and not self.bias:
+            # adaLN fusion hook: LN + x*(1+scale)+shift in one pass
+            # (ops/pallas/elementwise.py; exact XLA fallback when off)
+            from ..ops.pallas.elementwise import ln_modulate
+
+            return ln_modulate(x, gamma, *scale_shift)
         x32 = x.astype(jnp.float32)
         mean = x32.mean(-1, keepdims=True)
         var = x32.var(-1, keepdims=True)
         y = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
-        if not self.fix_scale:
-            gamma = self.param("gamma", nn.initializers.ones, (self.dim,), jnp.float32)
+        if gamma is not None:
             y = y * gamma
         if self.bias:
             beta = self.param("beta", nn.initializers.zeros, (self.dim,), jnp.float32)
             y = y + beta
-        return y.astype(x.dtype)
+        y = y.astype(x.dtype)
+        if scale_shift is not None:
+            y = y * (1 + scale_shift[0]) + scale_shift[1]
+        return y
 
 
 class GLU(nn.Module):
@@ -352,7 +362,9 @@ class TransformerBlock(nn.Module):
         # (jax.checkpoint has no static kwargs); attributes are static.
         cross_half_batch = cross_half_batch or self.cross_cfg_skip
         norm = (lambda d, name: LayerNorm(d, name=name)) if not self.remove_norms else (
-            lambda d, name: (lambda y: y)
+            lambda d, name: (lambda y, scale_shift=None:
+                             y if scale_shift is None
+                             else y * (1 + scale_shift[0]) + scale_shift[1])
         )
 
         def run_cross(cross_attn, cross_norm, x, context, context_mask):
@@ -387,15 +399,15 @@ class TransformerBlock(nn.Module):
             )(jax.nn.silu(global_cond))[:, None, :]
             scale_self, shift_self, gate_self, scale_ff, shift_ff, gate_ff = jnp.split(ssg, 6, axis=-1)
 
+            from ..ops.pallas.elementwise import gated_residual
+
             residual = x
-            x = pre_norm(x)
-            x = x * (1 + scale_self) + shift_self
+            x = pre_norm(x, scale_shift=(scale_self, shift_self))
             if return_kv or kv_cache is not None:
                 x, new_kv = self_attn(x, mask=mask, rotary_pos_emb=rotary_pos_emb, kv_cache=kv_cache, return_kv=True)
             else:
                 x = self_attn(x, mask=mask, rotary_pos_emb=rotary_pos_emb)
-            x = x * jax.nn.sigmoid(1 - gate_self)
-            x = x + residual
+            x = gated_residual(x, gate_self, residual)
 
             if context is not None:
                 x = x + run_cross(
@@ -408,11 +420,9 @@ class TransformerBlock(nn.Module):
                 x = x + ConformerModule(self.dim, name="conformer")(x)
 
             residual = x
-            x = ff_norm(x)
-            x = x * (1 + scale_ff) + shift_ff
+            x = ff_norm(x, scale_shift=(scale_ff, shift_ff))
             x = ff(x)
-            x = x * jax.nn.sigmoid(1 - gate_ff)
-            x = x + residual
+            x = gated_residual(x, gate_ff, residual)
         else:
             if return_kv or kv_cache is not None:
                 attn_out, new_kv = self_attn(

@@ -21,6 +21,7 @@ TRACE_TIME_ENV_FLAGS = (
     "FSAT_PAIR_BWD",
     "FSAT_FUSED_MLP",
     "FSAT_DISABLE_FUSED_MLP",
+    "FSAT_FUSED_EW",
     "FSAT_PALLAS_CROSS",
     "FSAT_PALLAS_INTERPRET",
     "FSAT_DISABLE_PALLAS_ATTN",

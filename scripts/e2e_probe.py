@@ -114,6 +114,33 @@ def probe_inpaint(n=2, steps=100):
     emit(probe="inpaint_vs_plain_ratio",
          ratio=round(results["inpaint"] / results["plain"], 4))
 
+    # decompose the gap: the init-audio VAE encode is real extra work the
+    # reference pays too (its generate_diffusion_cond encodes init_audio every
+    # call, reference generation.py:186-193); what must NOT cost anything is
+    # the in-scan mask merge. Time the encode component (jitted, incl. the
+    # 16 MB host->device transfer) and report the encode-adjusted ratio.
+    from friendly_stable_audio_tools_tpu.inference.utils import prepare_audio
+    import jax.numpy as jnp
+
+    prepared = prepare_audio(init_audio[1], in_sr=44100, target_sr=44100,
+                             target_length=sample_size, target_channels=2)
+    pt = model.pretransform
+
+    def enc():
+        x = jnp.asarray(np.asarray(prepared)).transpose(0, 2, 1)
+        return pt.encode_nwc(x, params=pt.model.params)
+
+    sync(enc())
+    tenc = []
+    for _ in range(3):
+        t0 = time.time()
+        sync(enc())
+        tenc.append(time.time() - t0)
+    t_enc = min(tenc)
+    adj = (results["inpaint"] - t_enc) / results["plain"]
+    emit(probe="init_audio_encode_component", wall_s=round(t_enc, 3))
+    emit(probe="inpaint_vs_plain_ratio_encode_adjusted", ratio=round(adj, 4))
+
 
 def main():
     ap = argparse.ArgumentParser()

@@ -594,3 +594,78 @@ def test_snake_downsample_gemm_matches_xla(stride, cin, cout):
         g = jax.grad(lambda x: (snake_downsample_conv1d(x, w, bias, al, ibv, stride) ** 2).sum())(x)
         gr = jax.grad(lambda x: (ref(x, snake) ** 2).sum())(x)
         np.testing.assert_allclose(np.asarray(g), np.asarray(gr), atol=2e-3)
+
+
+def test_ln_modulate_matches_xla(monkeypatch):
+    """Fused adaLN LN+modulate kernel vs the eager LayerNorm+modulate chain."""
+    monkeypatch.setenv("FSAT_FUSED_EW", "1")
+    from friendly_stable_audio_tools_tpu.ops.pallas import elementwise as ew
+
+    rng = np.random.RandomState(0)
+    for (b, t, d) in ((2, 130, 128), (1, 64, 256)):
+        x = jnp.asarray(rng.randn(b, t, d), jnp.bfloat16)
+        gamma = jnp.asarray(1 + 0.1 * rng.randn(d), jnp.float32)
+        scale = jnp.asarray(0.2 * rng.randn(b, 1, d), jnp.bfloat16)
+        shift = jnp.asarray(0.2 * rng.randn(b, 1, d), jnp.bfloat16)
+        got = ew.ln_modulate(x, gamma, scale, shift)
+        ref = ew._lnmod_xla(x, gamma, scale, shift)
+        assert got.dtype == ref.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(ref, np.float32), atol=3e-2)
+        # fix_scale form (gamma=None)
+        got0 = ew.ln_modulate(x, None, scale, shift)
+        ref0 = ew._lnmod_xla(x, None, scale, shift)
+        np.testing.assert_allclose(np.asarray(got0, np.float32),
+                                   np.asarray(ref0, np.float32), atol=3e-2)
+        # backward recomputes through the XLA chain
+        gk = jax.grad(lambda x: jnp.sum(
+            ew.ln_modulate(x, gamma, scale, shift).astype(jnp.float32) ** 2))(x)
+        gx = jax.grad(lambda x: jnp.sum(
+            ew._lnmod_xla(x, gamma, scale, shift).astype(jnp.float32) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(gk, np.float32),
+                                   np.asarray(gx, np.float32), atol=3e-2)
+
+
+def test_gated_residual_matches_xla(monkeypatch):
+    monkeypatch.setenv("FSAT_FUSED_EW", "1")
+    from friendly_stable_audio_tools_tpu.ops.pallas import elementwise as ew
+
+    rng = np.random.RandomState(1)
+    b, t, d = 2, 100, 128
+    y = jnp.asarray(rng.randn(b, t, d), jnp.bfloat16)
+    gate = jnp.asarray(rng.randn(b, 1, d), jnp.bfloat16)
+    res = jnp.asarray(rng.randn(b, t, d), jnp.bfloat16)
+    got = ew.gated_residual(y, gate, res)
+    ref = ew._gres_xla(y, gate, res)
+    assert got.dtype == jnp.bfloat16
+    # kernel computes the sigmoid-mul in fp32 then rounds once; the eager
+    # bf16 chain rounds twice — differences are bounded by one bf16 ulp
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32), atol=3e-2, rtol=3e-2)
+    gk = jax.grad(lambda y: jnp.sum(
+        ew.gated_residual(y, gate, res).astype(jnp.float32) ** 2))(y)
+    gx = jax.grad(lambda y: jnp.sum(
+        ew._gres_xla(y, gate, res).astype(jnp.float32) ** 2))(y)
+    np.testing.assert_allclose(np.asarray(gk, np.float32),
+                               np.asarray(gx, np.float32), atol=3e-2, rtol=3e-2)
+
+
+def test_transformer_block_fused_ew_matches_unfused(monkeypatch):
+    """End-to-end TransformerBlock with FSAT_FUSED_EW on vs off (adaLN path)."""
+    from friendly_stable_audio_tools_tpu.models.transformer import TransformerBlock
+    from friendly_stable_audio_tools_tpu.utils.common import dezero_params
+
+    rng = np.random.RandomState(2)
+    blk = TransformerBlock(dim=128, dim_heads=32, global_cond_dim=64)
+    x = jnp.asarray(rng.randn(2, 64, 128), jnp.bfloat16)
+    g = jnp.asarray(rng.randn(2, 64), jnp.bfloat16)
+    params = blk.init(jax.random.PRNGKey(0), x, global_cond=g)
+    params = dezero_params(params)
+    params = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), params)
+
+    monkeypatch.delenv("FSAT_FUSED_EW", raising=False)
+    ref = blk.apply(params, x, global_cond=g)
+    monkeypatch.setenv("FSAT_FUSED_EW", "1")
+    got = blk.apply(params, x, global_cond=g)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32), atol=5e-2)

@@ -58,7 +58,10 @@ def _load(rel):
         return json.load(f)
 
 
-def probe_full(n=3, batches=(2, 4, 8)):
+def probe_full(n=3, batches=None):
+    if batches is None:
+        batches = tuple(int(b) for b in
+                        os.environ.get("TRAIN_PROBE_BATCHES", "2,4,8").split(","))
     from friendly_stable_audio_tools_tpu.models.factory import create_model_from_config
     from friendly_stable_audio_tools_tpu.training.diffusion import DiffusionCondTrainingWrapper
 
@@ -135,7 +138,15 @@ def probe_full(n=3, batches=(2, 4, 8)):
         p5 = frozen["cond"].get("prompt") or wrapper.trainable_params()["conditioner"]["prompt"]
         tt = timeit(lambda: t5fwd(p5, cond_b["input_ids"], cond_b["attention_mask"]), n=n)
         emit(probe="train_full_sao_t5_only", batch=batch, ms=round(tt * 1e3, 2))
-        del state, holder
+        del state, holder, step, b
+        # drop the previous batch's executables + donated buffers before the
+        # next, larger, compile: batch 4 straight after batch 2 in one
+        # process died with an opaque TPU InvalidArgument (HBM pressure);
+        # alone it passes with ~1.5 GB to spare
+        import gc
+
+        jax.clear_caches()
+        gc.collect()
 
 
 def probe_aegan(n=3, batch=8):

@@ -82,22 +82,23 @@ class WNConv2d(nn.Module):
 
 
 def _stft_realimag(x: jnp.ndarray, n_fft: int, hop: int, win_length: int) -> jnp.ndarray:
-    """[N, T] -> [N, frames, freq, 2] complex STFT as real/imag channels."""
+    """[N, T] -> [N, frames, freq, 2] complex STFT as real/imag channels.
+    On TPU the framing+DFT runs as MXU GEMMs (ops/stft.py framed_dft_reim)
+    instead of gather + jnp.fft.rfft."""
+    from ..ops.stft import framed_dft_reim
     from ..training.losses.auraloss import _hann_window
 
     window = jnp.asarray(_hann_window(win_length), jnp.float32)
     pad = n_fft // 2
     x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
     n_frames = 1 + (x.shape[-1] - n_fft) // hop
-    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
-    frames = x[:, idx]
     if win_length < n_fft:
         lpad = (n_fft - win_length) // 2
         window = jnp.pad(window, (lpad, n_fft - win_length - lpad))
-    spec = jnp.fft.rfft(frames * window, n=n_fft, axis=-1)
+    re, im = framed_dft_reim(x, n_fft, hop, window, n_frames)
     # torchaudio Spectrogram(normalized=True) semantics (encodec.msstftd)
-    spec = spec / jnp.sqrt(jnp.sum(window.astype(jnp.float32) ** 2))
-    return jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)  # [N, fr, freq, 2]
+    norm = jnp.sqrt(jnp.sum(window.astype(jnp.float32) ** 2))
+    return jnp.stack([re, im], axis=-1) / norm  # [N, fr, freq, 2]
 
 
 class DiscriminatorSTFT(nn.Module):

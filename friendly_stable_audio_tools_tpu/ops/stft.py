@@ -67,6 +67,63 @@ def _atan2(y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(x == 0, jnp.sign(y) * (jnp.pi / 2), out)
 
 
+def framed_dft_reim(x: jnp.ndarray, n_fft: int, hop: int,
+                    window: jnp.ndarray, n_frames: int,
+                    force_gemm: bool = False) -> tp.Tuple[jnp.ndarray, jnp.ndarray]:
+    """Windowed framed rDFT of an already-PADDED signal, as (re, im) each
+    [N, n_frames, n_fft//2+1]. `x` is [N, T_padded] (caller applies torch's
+    center/reflect padding); `window` is already length n_fft.
+
+    On TPU this avoids the [N, L, n_fft] gather + jnp.fft.rfft lowering
+    (the gather materializes overlap-times duplicated frames through HBM and
+    its backward is a scatter-add; XLA's TPU FFT runs far off the MXU):
+    when n_fft % hop == 0, frame l spans exactly r = n_fft/hop consecutive
+    rows of the free [T/hop, hop] reshape, so the whole framed DFT is r
+    [L, hop] x [hop, 2F] GEMMs —
+        re[l, f] = sum_r  xr[l+r] @ (win * cos(-2*pi*f*(r*hop+n)/N))[r]
+    (the same phase-row trick as ops/pallas/conv1d.py
+    snake_downsample_conv1d). MXU-shaped forward AND backward; the MRSTFT
+    loss stack (7 scales at 4x overlap) and the MS-STFT discriminators are
+    the consumers (training/losses/auraloss.py, models/discriminators.py;
+    reference auraloss + encodec.msstftd run torch.stft on cuFFT).
+
+    CPU (and non-divisible hop) falls back to gather + rfft; `force_gemm`
+    lets tests compare both paths on one backend.
+    """
+    f = n_fft // 2 + 1
+    if (not force_gemm) and (_on_cpu() or n_fft % hop != 0 or n_fft // hop > 16):
+        idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+        frames = x[:, idx] * window
+        spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
+        return jnp.real(spec), jnp.imag(spec)
+
+    r = n_fft // hop
+    n = x.shape[0]
+    rows_needed = (n_frames - 1) + r
+    t_rows = -(-x.shape[-1] // hop)  # ceil
+    t_rows = max(t_rows, rows_needed)
+    xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, t_rows * hop - x.shape[-1])))
+    xr = xp.reshape(n, t_rows, hop)
+
+    # phase-block DFT weights [r, hop, F]: fp64 numpy angle constants, window
+    # applied via jnp (the window may be a TRACED array when the caller
+    # builds it inside a jitted module — constant-folded by XLA otherwise)
+    nn_ = np.arange(n_fft)[:, None]
+    ff = np.arange(f)[None, :]
+    ang = -2.0 * np.pi * nn_ * ff / n_fft
+    wwin = window.astype(jnp.float32)[:, None]
+    wc = (wwin * jnp.asarray(np.cos(ang), jnp.float32)).reshape(r, hop, f)
+    ws = (wwin * jnp.asarray(np.sin(ang), jnp.float32)).reshape(r, hop, f)
+
+    re = jnp.zeros((n, n_frames, f), jnp.float32)
+    im = jnp.zeros((n, n_frames, f), jnp.float32)
+    for blk in range(r):
+        seg = xr[:, blk:blk + n_frames]  # [N, L, hop]
+        re = re + jax.lax.dot_general(seg, wc[blk], (((2,), (0,)), ((), ())))
+        im = im + jax.lax.dot_general(seg, ws[blk], (((2,), (0,)), ((), ())))
+    return re, im
+
+
 def stft(x: jnp.ndarray, n_fft: int, hop_length: int, win_length: int,
          window: tp.Optional[jnp.ndarray] = None, normalized: bool = True) -> jnp.ndarray:
     """x: [..., T] real -> [..., F, L] complex (torch.stft semantics:
@@ -78,9 +135,10 @@ def stft(x: jnp.ndarray, n_fft: int, hop_length: int, win_length: int,
     x32 = x.astype(jnp.float32)
     xp = jnp.pad(x32, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
     n_frames = 1 + (xp.shape[-1] - n_fft) // hop_length
-    idx = jnp.arange(n_frames)[:, None] * hop_length + jnp.arange(n_fft)[None, :]
-    frames = xp[..., idx] * w  # [..., L, n_fft]
-    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
+    lead = xp.shape[:-1]
+    re, im = framed_dft_reim(xp.reshape((-1, xp.shape[-1])), n_fft, hop_length,
+                             w, n_frames)
+    spec = jax.lax.complex(re, im).reshape(lead + (n_frames, n_fft // 2 + 1))
     if normalized:
         spec = spec * (1.0 / math.sqrt(n_fft))
     return jnp.swapaxes(spec, -1, -2)  # [..., F, L]

@@ -117,3 +117,50 @@ def test_stft_loss_chroma_scale_forward():
     val = loss(x, y)
     assert np.isfinite(float(val))
     assert float(loss(x, x)) < float(val)
+
+
+def test_framed_dft_gemm_matches_rfft():
+    """The TPU GEMM framing path (phase-block DFT matmuls) == gather+rfft,
+    across fft/hop ratios and a non-hop-divisible signal length."""
+    import numpy as np
+    import jax.numpy as jnp
+    from friendly_stable_audio_tools_tpu.ops.stft import framed_dft_reim, hann_window
+
+    rng = np.random.RandomState(0)
+    for (n_fft, hop, t) in ((256, 64, 2000), (128, 32, 1027), (64, 16, 511),
+                            (32, 8, 300), (512, 128, 4096)):
+        x = jnp.asarray(rng.randn(3, t + n_fft), jnp.float32)  # "padded" input
+        win = hann_window(n_fft)
+        n_frames = 1 + t // hop
+        re_g, im_g = framed_dft_reim(x, n_fft, hop, win, n_frames, force_gemm=True)
+        re_r, im_r = framed_dft_reim(x, n_fft, hop, win, n_frames)  # cpu -> rfft
+        assert re_g.shape == re_r.shape == (3, n_frames, n_fft // 2 + 1)
+        scale = float(jnp.abs(re_r).max())
+        np.testing.assert_allclose(np.asarray(re_g), np.asarray(re_r),
+                                   atol=2e-4 * max(scale, 1.0))
+        np.testing.assert_allclose(np.asarray(im_g), np.asarray(im_r),
+                                   atol=2e-4 * max(scale, 1.0))
+
+
+def test_mrstft_loss_gemm_vs_rfft_paths(monkeypatch):
+    """MultiResolutionSTFTLoss value is backend-path independent: force the
+    GEMM framing inside stft_mag via framed_dft_reim and compare."""
+    import numpy as np
+    import jax.numpy as jnp
+    import friendly_stable_audio_tools_tpu.ops.stft as stft_mod
+    from friendly_stable_audio_tools_tpu.training.losses.auraloss import (
+        MultiResolutionSTFTLoss,
+    )
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 2, 4096) * 0.1, jnp.float32)
+    y = jnp.asarray(rng.randn(2, 2, 4096) * 0.1, jnp.float32)
+    loss = MultiResolutionSTFTLoss(fft_sizes=[256, 128], hop_sizes=[64, 32],
+                                   win_lengths=[256, 128])
+    ref = float(loss(x, y))
+    orig = stft_mod.framed_dft_reim
+    monkeypatch.setattr(
+        stft_mod, "framed_dft_reim",
+        lambda *a, **k: orig(*a, **{**k, "force_gemm": True}))
+    got = float(loss(x, y))
+    np.testing.assert_allclose(got, ref, rtol=1e-4)
